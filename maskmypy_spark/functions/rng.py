@@ -1,0 +1,101 @@
+"""Counter-based deterministic RNG, expressible identically in numpy,
+Spark SQL, and ANSI SQL (DuckDB).
+
+The reference (``/root/reference/maskmypy/tools.py:66-95``,
+``masks/donut.py:110-111``) draws from ONE sequential ``numpy.default_rng``
+in row order, so its exact outputs are only defined single-threaded. A
+distributed engine needs a per-row stream that is independent of
+partitioning, task order, and cluster size (the replay contract of
+``atlas.py:229-233``). We use a keyed quadratic-congruential hash:
+
+    t  = (key*A_KEY + C(seed, tag, draw)) mod M          (affine in key)
+    h1 = (t*t + t*B1 + C1) mod M                         (quadratic)
+    h2 = (h1*h1 + h1*B2 + C2) mod M                      (quartic)
+    u  = h2 / M   in [0, 1)
+
+with M = 2^31. All intermediates stay < 2^63, so the same integer
+arithmetic is exact in numpy int64, Spark SQL BIGINT, and DuckDB BIGINT —
+the three renderers below produce bit-identical doubles. This makes every
+"random" mask a pure JVM column expression (whole-stage codegen, no UDF)
+AND gives every mask an exact DuckDB oracle twin.
+
+Statistical quality is that of a quadratic congruential generator — fully
+adequate for the reference's test contracts (bounds, ±10% means, seed
+sensitivity; see ``/root/reference/tests/masks/test_donut.py:10-38``) though
+not cryptographic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+M = 1 << 31  # modulus 2^31; all mixing is mod M
+A_KEY = 1_588_635_695
+A_SEED = 888_888_877
+A_TAG = 2_654_435_761
+A_DRAW = 40_503
+B1, C1 = 1_103_515_245, 12_345
+B2, C2 = 179_424_673, 97
+
+# Draw-site tags: every independent uniform a mask consumes has its own tag,
+# so per-row streams never collide across draw sites.
+TAG_DONUT_R = 1       # donut radius draw (u1)
+TAG_DONUT_X = 2       # donut x-fraction draw (u2)
+TAG_DONUT_Q = 3       # donut quadrant draw (u3)
+TAG_DONUT_R2 = 4      # donut second radius draw (areal r2 / gaussian u1b)
+TAG_SWAP = 6          # locationswap candidate pick
+TAG_STREET_N = 7      # street target node count draw
+TAG_SIM = 8           # Ripley CSR simulation draws (x)
+TAG_SIM_Y = 9         # Ripley CSR simulation draws (y)
+
+
+def _const(tag: int, seed: int, draw: int) -> int:
+    """Fold (seed, tag, draw) — Python ints at plan-build time — into one
+    mod-M constant, so the rendered expression has a single variable: key."""
+    return ((seed % M) * A_SEED + (tag % M) * A_TAG + (draw % M) * A_DRAW + 1) % M
+
+
+def _mix_sql(t: str) -> str:
+    h1 = f"(({t}) * ({t}) % {M} + ({t}) * {B1} % {M} + {C1}) % {M}"
+    h2 = f"(({h1}) * ({h1}) % {M} + ({h1}) * {B2} % {M} + {C2}) % {M}"
+    return f"(({h2}) / {float(M)!r})"
+
+
+def u_sql(key: str, tag: int, seed: int, draw: int = 0) -> str:
+    """Render u(key) as a single SQL scalar expression (valid in Spark SQL
+    and DuckDB; ``key`` must be a non-negative BIGINT expression). The
+    quadratic rounds inline the stage-1 expression multiple times; engines
+    CSE it. Prefer CTE-style queries (compute ``t`` once as a column, then
+    ``u_from_t_sql``) when hand-writing SQL."""
+    c = _const(tag, seed, draw)
+    t = f"(((({key}) % {M}) * {A_KEY} + {c}) % {M})"
+    return _mix_sql(t)
+
+
+def t_sql(key: str, tag: int, seed: int, draw: int = 0) -> str:
+    """Stage-1 (affine) value as a SQL expression — compute it once as a
+    CTE column named e.g. ``t1``, then apply ``u_from_t_sql('t1')``."""
+    c = _const(tag, seed, draw)
+    return f"(((({key}) % {M}) * {A_KEY} + {c}) % {M})"
+
+
+def u_from_t_sql(t: str) -> str:
+    """Stage-2 mixing + divide, given a column/expression holding t."""
+    return _mix_sql(f"({t})")
+
+
+def u_np(key, tag: int, seed: int, draw: int = 0) -> np.ndarray:
+    """numpy twin of the SQL renderers — bit-identical doubles."""
+    key = np.asarray(key, dtype=np.int64)
+    c = _const(tag, seed, draw)
+    t = ((key % M) * A_KEY + c) % M
+    h1 = ((t * t) % M + (t * B1) % M + C1) % M
+    h2 = ((h1 * h1) % M + (h1 * B2) % M + C2) % M
+    return h2 / float(M)
+
+
+def gen_seed() -> int:
+    """16-digit random master seed (reference ``tools.py:85-95``)."""
+    from random import SystemRandom
+
+    return int(SystemRandom().random() * (10**16))

@@ -1,0 +1,39 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+local[N] here; on a real cluster the same config ships via
+``spark-submit --py-files maskmypy_spark.zip`` (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "maskmypy-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cores = int(cores or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        # AQE: runtime re-plan, skew-join splitting, partition coalescing —
+        # the north rule's explicit skew handling rides on this plus the
+        # engine's own hot-cell salting (operators/distance_join.py).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow everywhere Python is unavoidable; bounded batches so
+        # image-bytes batches fit executor memory (SURVEY §7 hard part 5).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
