@@ -1,0 +1,304 @@
+"""Privacy / information-loss analytics (reference analysis.py + tools.py).
+
+Every metric is a declarative DataFrame plan; the only Python-side kernel is
+the exact circle–polygon clip inside polygon k-anonymity (Arrow-batched,
+vectorized numpy — reference uses shapely buffers + a double loop,
+analysis.py:524-539).
+
+Rounding matches the reference digit-for-digit: 6 dp distances
+(analysis.py:215-218, :262, :285), 3 dp satisfaction (:169), 2 dp k med/mean
+(:192-193).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .functions import geometry
+from .operators.distance_join import dist_sql, distance_join
+from .operators.knn import nearest_neighbor
+
+SENS_PREFIX = "_s_"
+
+
+def displacement(
+    sensitive: DataFrame,
+    candidate: DataFrame,
+    key: str = "pid",
+    x: str = "x",
+    y: str = "y",
+    col: str = "_distance",
+) -> DataFrame:
+    """candidate + per-row distance to its original location
+    (reference analysis.py:82-105; index alignment => equi-join on key)."""
+    s = sensitive.select(
+        key, F.col(x).alias(SENS_PREFIX + x), F.col(y).alias(SENS_PREFIX + y)
+    )
+    return (
+        candidate.join(s, key)
+        .withColumn(col, F.expr(dist_sql(x, y, SENS_PREFIX + x, SENS_PREFIX + y)))
+        .drop(SENS_PREFIX + x, SENS_PREFIX + y)
+    )
+
+
+def summarize_displacement(df: DataFrame, col: str = "_distance") -> DataFrame:
+    """One-row summary (analysis.py:197-219): min/max/med/mean @ 6 dp."""
+    return df.agg(
+        F.round(F.min(col), 6).alias("displacement_min"),
+        F.round(F.max(col), 6).alias("displacement_max"),
+        F.round(F.median(col), 6).alias("displacement_med"),
+        F.round(F.avg(col), 6).alias("displacement_mean"),
+    )
+
+
+def summarize_k(df: DataFrame, col: str = "k_anonymity") -> DataFrame:
+    """analysis.py:172-194: int min/max, 2-dp median/mean."""
+    return df.agg(
+        F.min(col).cast("bigint").alias("k_min"),
+        F.max(col).cast("bigint").alias("k_max"),
+        F.round(F.median(F.col(col).cast("double")), 2).alias("k_med"),
+        F.round(F.avg(col), 2).alias("k_mean"),
+    )
+
+
+def k_satisfaction(df: DataFrame, min_k: int, col: str = "k_anonymity") -> DataFrame:
+    """analysis.py:150-169: share of rows with k >= min_k, 3 dp."""
+    return df.agg(
+        F.round(
+            F.sum(F.when(F.col(col) >= min_k, 1).otherwise(0)) / F.count(col), 3
+        ).alias(f"k_satisfaction_{min_k}")
+    )
+
+
+def k_satisfaction_value(df: DataFrame, min_k: int, col: str = "k_anonymity") -> float:
+    return float(k_satisfaction(df, min_k, col).collect()[0][0])
+
+
+def central_drift(
+    sensitive: DataFrame, candidate: DataFrame, x: str = "x", y: str = "y"
+) -> DataFrame:
+    """Distance between the mean centers (analysis.py:266-285), 6 dp."""
+    a = sensitive.agg(F.avg(x).alias("ax"), F.avg(y).alias("ay"))
+    b = candidate.agg(F.avg(x).alias("bx"), F.avg(y).alias("by"))
+    return a.crossJoin(b).select(
+        F.round(F.expr(dist_sql("ax", "ay", "bx", "by")), 6).alias("central_drift")
+    )
+
+
+def nnd(df: DataFrame, key: str = "pid", x: str = "x", y: str = "y", cs: float | None = None) -> DataFrame:
+    """Nearest-neighbor-distance stats (analysis.py:222-237) via the exact
+    kNN self-join — distributed replacement for pointpats.PointPattern."""
+    others = df.select(F.col(key).alias("_nk"), F.col(x).alias("_nx"), F.col(y).alias("_ny"))
+    nn = nearest_neighbor(
+        df.select(key, x, y), others, key=key, x=x, y=y,
+        okey="_nk", ox="_nx", oy="_ny", cs=cs, exclude_self=True,
+    )
+    return nn.agg(
+        F.min("nn_dist").alias("nnd_min"),
+        F.max("nn_dist").alias("nnd_max"),
+        F.avg("nn_dist").alias("nnd_mean"),
+    )
+
+
+def nnd_delta(
+    sensitive: DataFrame, candidate: DataFrame, key: str = "pid",
+    x: str = "x", y: str = "y", cs: float | None = None,
+) -> DataFrame:
+    """after - before of each NND stat, 6 dp (analysis.py:240-263)."""
+    before = nnd(sensitive, key, x, y, cs)
+    after = (
+        nnd(candidate, key, x, y, cs)
+        .withColumnsRenamed({"nnd_min": "a_min", "nnd_max": "a_max", "nnd_mean": "a_mean"})
+    )
+    return before.crossJoin(after).select(
+        F.round(F.col("a_min") - F.col("nnd_min"), 6).alias("nnd_min_delta"),
+        F.round(F.col("a_max") - F.col("nnd_max"), 6).alias("nnd_max_delta"),
+        F.round(F.col("a_mean") - F.col("nnd_mean"), 6).alias("nnd_mean_delta"),
+    )
+
+
+def k_anonymity_address(
+    sensitive: DataFrame,
+    candidate: DataFrame,
+    address: DataFrame,
+    key: str = "pid",
+    x: str = "x",
+    y: str = "y",
+    akey: str = "aid",
+    ax: str = "ax",
+    ay: str = "ay",
+    max_radius: float | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Address-based spatial k-anonymity (reference analysis.py:582-596):
+    k = 1 + #addresses within the closed disk of radius = per-point
+    displacement around the masked point; no addresses => k = 1.
+
+    Engine contract is the exact closed disk (dist <= displacement); the
+    reference's geopandas buffers are 32-gon approximations whose boundary
+    behavior is a numerical artifact (see tests/test_analysis_goldens.py).
+
+    This is the flagship k-verification join of BASELINE.json: a cell-
+    indexed distance join at the displacement cap + one count aggregate.
+    """
+    cand = displacement(sensitive, candidate, key, x, y, col="_radius")
+    if max_radius is None:
+        max_radius = cand.agg(F.max("_radius")).collect()[0][0] or 1.0
+    pairs = distance_join(
+        cand.select(key, x, y, "_radius"), address.select(akey, ax, ay),
+        radius=float(max_radius), lx=x, ly=y, rx=ax, ry=ay, salt=salt,
+    ).where(F.col("dist") <= F.col("_radius"))
+    counts = pairs.groupBy(key).agg((F.count(F.lit(1)) + 1).alias("k_anonymity"))
+    return (
+        cand.join(counts, key, "left")
+        .withColumn("k_anonymity", F.coalesce("k_anonymity", F.lit(1)))
+        .drop("_radius")
+    )
+
+
+def k_anonymity_polygon(
+    sensitive: DataFrame,
+    candidate: DataFrame,
+    polygons: DataFrame,
+    pop_col: str = "pop",
+    key: str = "pid",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Population-based k estimation (reference analysis.py:563-579 +
+    _disaggregate :524-539): k = floor(sum over intersected census polygons
+    of pop * area(circle ∩ polygon) / area(polygon)).
+
+    The reference's public ``k_anonymity`` dispatch can never reach this
+    branch (tools.py:165-169 raises instead of returning False — SURVEY §2.2
+    A3); we expose it directly, like the reference's own tests do.
+
+    Polygons are a small broadcast dimension: rings are collected to the
+    driver once and shipped in the UDF closure; the exact clip area runs
+    vectorized over flat (pair, edge) arrays per Arrow batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    polys = polygons.select("poly_id", pop_col, "ring").collect()
+    rings = {
+        int(r["poly_id"]): (
+            np.array([p["x"] for p in r["ring"]], dtype=np.float64),
+            np.array([p["y"] for p in r["ring"]], dtype=np.float64),
+            float(r[pop_col]),
+        )
+        for r in polys
+    }
+    areas = {pid: abs(geometry.ring_area(rx, ry)) for pid, (rx, ry, _) in rings.items()}
+    bbox = [
+        (pid, float(rx.min()), float(ry.min()), float(rx.max()), float(ry.max()))
+        for pid, (rx, ry, _) in rings.items()
+    ]
+    spark = sensitive.sparkSession
+    bbox_df = F.broadcast(
+        spark.createDataFrame(bbox, ["poly_id", "_xmin", "_ymin", "_xmax", "_ymax"])
+    )
+
+    cand = displacement(sensitive, candidate, key, x, y, col="_radius")
+    px, py, pr = F.col(x), F.col(y), F.col("_radius")
+    pairs = cand.select(key, x, y, "_radius").join(
+        bbox_df,
+        (px + pr >= F.col("_xmin")) & (px - pr <= F.col("_xmax"))
+        & (py + pr >= F.col("_ymin")) & (py - pr <= F.col("_ymax")),
+    )
+
+    def clip_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({key: [], "_pop_adj": []})
+                continue
+            out = np.zeros(len(pdf), dtype=np.float64)
+            for pid in pdf["poly_id"].unique():
+                m = (pdf["poly_id"] == pid).to_numpy()
+                rx, ry, pop = rings[int(pid)]
+                n_edges = len(rx)
+                cxs = pdf.loc[m, x].to_numpy()
+                cys = pdf.loc[m, y].to_numpy()
+                rs = pdf.loc[m, "_radius"].to_numpy()
+                axr = np.tile(rx, len(cxs)) - np.repeat(cxs, n_edges)
+                ayr = np.tile(ry, len(cxs)) - np.repeat(cys, n_edges)
+                bxr = np.tile(np.roll(rx, -1), len(cxs)) - np.repeat(cxs, n_edges)
+                byr = np.tile(np.roll(ry, -1), len(cxs)) - np.repeat(cys, n_edges)
+                rr = np.repeat(rs, n_edges)
+                contrib = geometry.circle_poly_edge_area(axr, ayr, bxr, byr, rr)
+                inter = np.abs(contrib.reshape(len(cxs), n_edges).sum(axis=1))
+                out[m] = pop * inter / areas[int(pid)]
+            yield pd.DataFrame({key: pdf[key], "_pop_adj": out})
+
+    adj = pairs.mapInPandas(clip_batches, schema=f"{key} long, _pop_adj double")
+    ks = adj.groupBy(key).agg(
+        F.floor(F.sum("_pop_adj")).cast("bigint").alias("k_anonymity")
+    )
+    return (
+        cand.join(ks, key, "left")
+        .withColumn("k_anonymity", F.coalesce("k_anonymity", F.lit(0)))
+        .drop("_radius")
+    )
+
+
+def mark_unmasked(
+    sensitive: DataFrame, masked: DataFrame, key: str = "pid", x: str = "x", y: str = "y"
+) -> DataFrame:
+    """UNMASKED 1/0 where geometry is unchanged (tools.py:136-147)."""
+    s = sensitive.select(key, F.col(x).alias("_ux"), F.col(y).alias("_uy"))
+    return (
+        masked.join(s, key)
+        .withColumn(
+            "UNMASKED",
+            F.when((F.col(x) == F.col("_ux")) & (F.col(y) == F.col("_uy")), 1).otherwise(0),
+        )
+        .drop("_ux", "_uy")
+    )
+
+
+def checksum(df: DataFrame, cols: list[str] | None = None, dp: int = 9) -> str:
+    """Order-insensitive content checksum (reference tools.py:46-63 uses
+    sha256(hash_pandas_object); ours must be partitioning-independent):
+    xor of xxhash64 over canonicalized rows + row count, hex. Floats are
+    canonicalized at ``dp`` decimals so bit-identical reruns match."""
+    cols = cols or df.columns
+    canon = []
+    for c in cols:
+        col = F.col(c)
+        if dict(df.dtypes)[c] in ("double", "float"):
+            col = F.round(col.cast("double"), dp)
+        canon.append(F.coalesce(col.cast("string"), F.lit("\x00")))
+    row = df.select(F.xxhash64(F.concat_ws("\x1f", *canon)).alias("h"))
+    agg = row.agg(
+        F.expr("bit_xor(h)").alias("x"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    return f"{(agg['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{agg['n']}"
+
+
+def evaluate(
+    sensitive: DataFrame,
+    candidate: DataFrame,
+    address: DataFrame | None = None,
+    key: str = "pid",
+    x: str = "x",
+    y: str = "y",
+    akey: str = "aid",
+    ax: str = "ax",
+    ay: str = "ay",
+) -> dict:
+    """Composite evaluation (reference analysis.py:15-79): central drift,
+    displacement summary, NND deltas (+ k summary / satisfaction at 5/25/50
+    when an address layer is given). Returns a plain dict like the
+    reference; each stat is a tiny agg job."""
+    stats: dict = {}
+    stats["central_drift"] = float(central_drift(sensitive, candidate, x, y).collect()[0][0])
+    disp = displacement(sensitive, candidate, key, x, y)
+    stats.update(summarize_displacement(disp).collect()[0].asDict())
+    stats.update(nnd_delta(sensitive, candidate, key, x, y).collect()[0].asDict())
+    if address is not None:
+        kdf = k_anonymity_address(sensitive, candidate, address, key, x, y, akey, ax, ay)
+        stats.update({k: (int(v) if k in ("k_min", "k_max") else float(v))
+                      for k, v in summarize_k(kdf).collect()[0].asDict().items()})
+        for mk in (5, 25, 50):
+            stats[f"k_satisfaction_{mk}"] = k_satisfaction_value(kdf, mk)
+    return stats

@@ -29,8 +29,8 @@ def cell_sql(x: str, y: str, cs: float) -> str:
     """Cell id as a SQL expression (Spark SQL + DuckDB compatible)."""
     cs = float(cs)
     return (
-        f"((CAST(floor(({x}) / {cs!r}) AS BIGINT) + {CELL_OFF}) * {CELL_K}"
-        f" + CAST(floor(({y}) / {cs!r}) AS BIGINT) + {CELL_OFF})"
+        f"((CAST(floor(({x}) / {flit(cs)}) AS BIGINT) + {CELL_OFF}) * {CELL_K}"
+        f" + CAST(floor(({y}) / {flit(cs)}) AS BIGINT) + {CELL_OFF})"
     )
 
 

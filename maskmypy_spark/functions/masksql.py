@@ -1,0 +1,130 @@
+"""Shared SQL formula builders for the random masks.
+
+ONE source of truth for the arithmetic of each mask: the Spark operators
+apply these snippets with ``F.expr`` and the DuckDB oracles inline the same
+strings into CTE pipelines, so both engines execute the identical IEEE-754
+operation sequence (+, -, *, /, sqrt are correctly rounded => bit-equal;
+ln/cos differ by ulps => outputs rounded to 6 dp, the reference's own
+distance precision, analysis.py:215-218).
+
+Donut semantics transcribed from /root/reference/maskmypy/masks/donut.py:
+  113-145: hypotenuse by distribution; x = U(0, hyp); y = sqrt(hyp²-x²);
+           quadrant flips with probability 1/4 each.
+  117-121: gaussian: mean=(high-low)/2+low, sigma=((high-low)/2)/2.5,
+           hyp=|N(mean, sigma)| (may exceed [low, high] — documented there).
+  122-129: areal: hyp = max of two U(low, high) draws (the reference's
+           rejection loop "keep r1 if r1 > r2" == distribution of the max).
+"""
+
+from __future__ import annotations
+
+from . import rng
+from .rng import flit
+
+
+def donut_stages(
+    key: str,
+    low: float,
+    high: float,
+    seed: int,
+    distribution: str = "uniform",
+    attempt: int = 0,
+) -> list[tuple[str, str]]:
+    """Ordered (column_name, sql_expr) stages computing offx/offy for the
+    donut mask. Each expr may reference previously defined names; apply with
+    sequential ``withColumn`` (Spark) or nested CTEs (oracle SQL).
+    """
+    low, high = float(low), float(high)
+    stages: list[tuple[str, str]] = [
+        ("_u1", rng.u_sql(key, rng.TAG_DONUT_R, seed, attempt)),
+        ("_u2", rng.u_sql(key, rng.TAG_DONUT_X, seed, attempt)),
+        ("_u3", rng.u_sql(key, rng.TAG_DONUT_Q, seed, attempt)),
+    ]
+    if distribution == "uniform":
+        stages.append(("_hyp", f"{flit(low)} + ({flit(high)} - {flit(low)}) * _u1"))
+    elif distribution == "gaussian":
+        mean = (high - low) / 2.0 + low
+        sigma = ((high - low) / 2.0) / 2.5
+        stages.append(("_u4", rng.u_sql(key, rng.TAG_DONUT_R2, seed, attempt)))
+        stages.append(
+            ("_z", "sqrt(-2.0 * ln(1.0 - _u1)) * cos(2.0 * pi() * _u4)")
+        )
+        stages.append(("_hyp", f"abs({flit(mean)} + {flit(sigma)} * _z)"))
+    elif distribution == "areal":
+        stages.append(("_u4", rng.u_sql(key, rng.TAG_DONUT_R2, seed, attempt)))
+        stages.append(
+            (
+                "_hyp",
+                f"greatest({flit(low)} + ({flit(high)} - {flit(low)}) * _u1,"
+                f" {flit(low)} + ({flit(high)} - {flit(low)}) * _u4)",
+            )
+        )
+    else:
+        raise ValueError(f"Unknown distribution: {distribution}")
+    stages.append(("_ox", "_hyp * _u2"))
+    stages.append(("_oy", "sqrt(_hyp * _hyp - _ox * _ox)"))
+    stages.append(
+        (
+            "_offx",
+            "CASE WHEN _u3 < 0.25 THEN 0.0 - _ox"
+            " WHEN _u3 < 0.5 THEN _ox"
+            " WHEN _u3 < 0.75 THEN 0.0 - _ox"
+            " ELSE _ox END",
+        )
+    )
+    stages.append(
+        (
+            "_offy",
+            "CASE WHEN _u3 < 0.25 THEN _oy"
+            " WHEN _u3 < 0.5 THEN 0.0 - _oy"
+            " WHEN _u3 < 0.75 THEN 0.0 - _oy"
+            " ELSE _oy END",
+        )
+    )
+    return stages
+
+
+DONUT_TEMP_COLS = ["_u1", "_u2", "_u3", "_u4", "_z", "_hyp", "_ox", "_oy", "_offx", "_offy"]
+
+
+def donut_cte(
+    source_sql: str,
+    key: str,
+    x: str,
+    y: str,
+    low: float,
+    high: float,
+    seed: int,
+    distribution: str = "uniform",
+    attempt: int = 0,
+    round_dp: int = 6,
+) -> str:
+    """Full ANSI-SQL (DuckDB-ready) query: source -> masked (key, mx, my).
+
+    Used by the oracle side of the driver contract; the Spark side runs the
+    DataFrame operator built from the same stages.
+    """
+    stages = donut_stages(key, low, high, seed, distribution, attempt)
+    sql = f"WITH _s0 AS ({source_sql})"
+    prev = "_s0"
+    for i, (name, expr) in enumerate(stages, start=1):
+        sql += f", _s{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"_s{i}"
+    sql += (
+        f" SELECT {key}, round({x} + _offx, {round_dp}) AS mx,"
+        f" round({y} + _offy, {round_dp}) AS my FROM {prev}"
+    )
+    return sql
+
+
+def swap_pick_key(pkey: str, akey: str) -> str:
+    """Combined 63-bit-safe key for the locationswap candidate pick."""
+    return f"((({pkey}) % {rng.M}) * 48271 + ({akey}) % {rng.M})"
+
+
+def swap_u(pkey: str, akey: str, seed: int) -> str:
+    """Deterministic per-(point, address) uniform used as the 'random
+    choice' among annulus candidates (reference locationswap.py:113 uses
+    ``rng.choice``; our distributed contract is argmin of this hash —
+    order- and partitioning-independent)."""
+    return rng.u_sql(swap_pick_key(pkey, akey), rng.TAG_SWAP, seed)

@@ -49,6 +49,15 @@ TAG_SIM = 8           # Ripley CSR simulation draws (x)
 TAG_SIM_Y = 9         # Ripley CSR simulation draws (y)
 
 
+def flit(v: float) -> str:
+    """Render a float literal that parses as DOUBLE in BOTH Spark SQL and
+    DuckDB. Spark parses plain decimal literals (``100.0``) as DECIMAL,
+    which silently degrades downstream arithmetic to fixed-point; scientific
+    notation is DOUBLE in both dialects. 17 significant digits round-trip
+    any IEEE-754 double exactly."""
+    return f"{float(v):.17e}"
+
+
 def _const(tag: int, seed: int, draw: int) -> int:
     """Fold (seed, tag, draw) — Python ints at plan-build time — into one
     mod-M constant, so the rendered expression has a single variable: key."""
@@ -58,7 +67,7 @@ def _const(tag: int, seed: int, draw: int) -> int:
 def _mix_sql(t: str) -> str:
     h1 = f"(({t}) * ({t}) % {M} + ({t}) * {B1} % {M} + {C1}) % {M}"
     h2 = f"(({h1}) * ({h1}) % {M} + ({h1}) * {B2} % {M} + {C2}) % {M}"
-    return f"(({h2}) / {float(M)!r})"
+    return f"(({h2}) / {flit(M)})"
 
 
 def u_sql(key: str, tag: int, seed: int, draw: int = 0) -> str:

@@ -1,0 +1,115 @@
+"""Exact nearest-neighbor (kNN, k=1) join with ring escalation.
+
+Replaces ``osmnx.nearest_nodes`` (reference ``tools.py:130``,
+``masks/street.py:239``) and backs the Voronoi mask's closed form and the
+NND statistics (``analysis.py:222-237``).
+
+Algorithm: join probe points to candidates sharing a 3x3 cell neighborhood
+at cell size ``cs``; a point's argmin is PROVEN exact when its best distance
+is <= cs (everything within cs was examined). Unconverged points escalate to
+3x coarser cells — a driver loop over a geometrically shrinking subset, each
+round one Spark job. Deterministic ties: lexicographic (dist, neighbor key).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import cells
+from .distance_join import dist_sql
+
+
+def estimate_cell_size(df: DataFrame, x: str = "x", y: str = "y") -> float:
+    """~2x the expected NN spacing for a roughly uniform pattern."""
+    r = df.agg(
+        F.min(x).alias("x0"), F.max(x).alias("x1"),
+        F.min(y).alias("y0"), F.max(y).alias("y1"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    area = max((r.x1 - r.x0) * (r.y1 - r.y0), 1e-9)
+    return 2.0 * math.sqrt(area / max(r.n, 1))
+
+
+def nearest_neighbor(
+    points: DataFrame,
+    others: DataFrame,
+    key: str = "pid",
+    x: str = "x",
+    y: str = "y",
+    okey: str = "nn_id",
+    ox: str = "nn_x",
+    oy: str = "nn_y",
+    cs: float | None = None,
+    exclude_self: bool = False,
+    broadcast_others: bool = False,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """points + (okey, ox, oy, nn_dist) of each point's exact nearest other.
+
+    ``others`` must already carry columns (okey, ox, oy) disjoint from the
+    point columns. ``exclude_self`` skips okey == key pairs (self-join mode).
+    """
+    if cs is None:
+        cs = estimate_cell_size(others, ox, oy)
+
+    d = F.expr(dist_sql(x, y, ox, oy))
+    parts: list[DataFrame] = []
+    remaining = points
+    for _ in range(max_rounds):
+        lcell = F.expr(cells.cell_sql(x, y, cs))
+        rcell = F.expr(cells.cell_sql(ox, oy, cs))
+        lt = remaining.withColumn(
+            "_cell", F.explode(F.array(*[lcell + F.lit(o) for o in cells.ring_offsets(1)]))
+        )
+        rt = others.withColumn("_cell", rcell)
+        if broadcast_others:
+            rt = F.broadcast(rt)
+        cand = lt.join(rt, "_cell")
+        if exclude_self:
+            cand = cand.where(F.col(okey) != F.col(key))
+        best = (
+            cand.withColumn("_d", d)
+            .groupBy(key)
+            .agg(F.min(F.struct("_d", okey, ox, oy)).alias("_best"))
+            .select(
+                key,
+                F.col(f"_best.{okey}").alias(okey),
+                F.col(f"_best.{ox}").alias(ox),
+                F.col(f"_best.{oy}").alias(oy),
+                F.col("_best._d").alias("nn_dist"),
+            )
+        )
+        done = best.where(F.col("nn_dist") <= F.lit(float(cs)))
+        resolved = remaining.join(done, key, "inner").localCheckpoint(eager=True)
+        parts.append(resolved)
+        remaining = remaining.join(done.select(key), key, "left_anti").localCheckpoint(
+            eager=True
+        )
+        if remaining.isEmpty():
+            break
+        cs *= 3.0
+    else:
+        # Termination fallback: brute-force the (tiny) residue.
+        cand = remaining.crossJoin(F.broadcast(others) if broadcast_others else others)
+        if exclude_self:
+            cand = cand.where(F.col(okey) != F.col(key))
+        best = (
+            cand.withColumn("_d", d)
+            .groupBy(key)
+            .agg(F.min(F.struct("_d", okey, ox, oy)).alias("_best"))
+            .select(
+                key,
+                F.col(f"_best.{okey}").alias(okey),
+                F.col(f"_best.{ox}").alias(ox),
+                F.col(f"_best.{oy}").alias(oy),
+                F.col("_best._d").alias("nn_dist"),
+            )
+        )
+        parts.append(remaining.join(best, key, "inner"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,65 @@
+"""Location-swap mask — displace each point to a random address point in
+the annulus (low, high].
+
+Reference semantics: /root/reference/maskmypy/masks/locationswap.py:10-122 —
+buffer set-difference => candidates at ``low < dist <= high`` (:101-111);
+uniform pick (:113); no candidate => point kept unchanged and an UNMASKED
+1/0 column marks it (:114-116 + tools.py:136-147). We always emit the
+UNMASKED column (fixed schema; the reference adds it only when non-empty —
+documented divergence).
+
+Execution: one cell-indexed annulus join + a map-side partial min-aggregate.
+The "random choice" is argmin over candidates of a per-(point, address)
+hash uniform (functions/masksql.py:swap_u) — equivalent in distribution to
+the reference's rng.choice, but order- and partitioning-independent, and
+expressible as an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import rng
+from ..functions.masksql import swap_u
+from .distance_join import distance_join
+
+
+def locationswap(
+    df: DataFrame,
+    low: float,
+    high: float,
+    address: DataFrame,
+    seed: int | None = None,
+    key: str = "pid",
+    x: str = "x",
+    y: str = "y",
+    akey: str = "aid",
+    ax: str = "ax",
+    ay: str = "ay",
+    salt: int = 0,
+) -> DataFrame:
+    if low >= high:
+        raise ValueError("Minimum displacement distance is larger than or equal to maximum.")
+    seed = rng.gen_seed() if not seed else seed
+
+    cand = distance_join(
+        df.select(key, x, y), address.select(akey, ax, ay), radius=high,
+        lx=x, ly=y, rx=ax, ry=ay, salt=salt,
+    ).where(F.col("dist") > float(low))
+    picked = (
+        cand.withColumn("_u", F.expr(swap_u(key, akey, seed)))
+        .groupBy(key)
+        .agg(F.min(F.struct("_u", akey, ax, ay)).alias("_b"))
+        .select(
+            key,
+            F.col(f"_b.{ax}").alias("_swap_x"),
+            F.col(f"_b.{ay}").alias("_swap_y"),
+        )
+    )
+    out = df.join(picked, key, "left")
+    return (
+        out.withColumn("UNMASKED", F.when(F.col("_swap_x").isNull(), 1).otherwise(0))
+        .withColumn(x, F.coalesce("_swap_x", x))
+        .withColumn(y, F.coalesce("_swap_y", y))
+        .drop("_swap_x", "_swap_y")
+    )
