@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .rng import flit
+
 CELL_OFF = 1 << 20
 CELL_K = 1 << 21
 

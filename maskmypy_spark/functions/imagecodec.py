@@ -1,0 +1,180 @@
+"""Pure-numpy image codecs (PPM / BMP / PNG via stdlib zlib).
+
+No PIL/opencv in this environment (SURVEY §7), so the engine ships minimal
+deterministic codecs for the three fixture formats. PPM/BMP are exact
+(lossless, byte-stable); PNG uses zlib level 6, filter 0 (lossless). The
+"lossy" path for the PSNR>=40dB invariant is explicit bit-depth quantization
+(``quantize``) — deterministic, dependency-free, and honest about what it
+does. All functions operate on uint8 RGB arrays of shape (h, w, 3).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- PPM (P6)
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    parts = data.split(b"\n", 3)
+    w, h = (int(v) for v in parts[1].split())
+    raw = parts[3]
+    return np.frombuffer(raw[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+
+# ------------------------------------------------------------ BMP (24-bit)
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    bgr = img[::-1, :, ::-1].astype(np.uint8)  # bottom-up, BGR
+    for r in range(h):
+        body += bgr[r].tobytes() + b"\x00" * pad
+    size = 14 + 40 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a bmp")
+    off = struct.unpack("<I", data[10:14])[0]
+    w, h = struct.unpack("<ii", data[18:26])[0:2]
+    bpp = struct.unpack("<H", data[28:30])[0]
+    if bpp != 24:
+        raise ValueError("only 24-bit bmp supported")
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    pos = off
+    for r in range(h):
+        line = np.frombuffer(data[pos : pos + row], dtype=np.uint8).reshape(w, 3)
+        out[h - 1 - r] = line[:, ::-1]
+        pos += row + pad
+    return out
+
+
+# ------------------------------------------------------------- PNG (zlib)
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + img[r].astype(np.uint8).tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a png")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError("only 8-bit RGB png supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3 + 1
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        filt, body = line[0], np.frombuffer(line[1:], dtype=np.uint8)
+        if filt == 0:
+            cur = body.copy()
+        elif filt == 2:  # Up
+            cur = (body.astype(np.int16) + prev).astype(np.uint8)
+        else:
+            raise ValueError(f"unsupported png filter {filt}")
+        out[r] = cur.reshape(w, 3)
+        prev = cur
+    return out
+
+
+CODECS = {
+    "ppm": (encode_ppm, decode_ppm),
+    "bmp": (encode_bmp, decode_bmp),
+    "png": (encode_png, decode_png),
+}
+
+
+def encode(img: np.ndarray, fmt: str) -> bytes:
+    return CODECS[fmt][0](img)
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    return CODECS[fmt][1](data)
+
+
+# ------------------------------------------------------------- transforms
+
+def quantize(img: np.ndarray, bits: int = 5) -> np.ndarray:
+    """Deterministic lossy re-encode: keep the top ``bits`` bits per channel
+    (mid-rise requantization). bits=5 => PSNR ≈ 41 dB, the engine's standard
+    lossy setting for the >=40 dB invariant."""
+    shift = 8 - bits
+    q = (img.astype(np.uint16) >> shift) << shift
+    return (q + (1 << (shift - 1))).clip(0, 255).astype(np.uint8)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def average_hash(img: np.ndarray) -> int:
+    """64-bit average hash (deterministic, DCT-free): 8x8 block-mean
+    luminance thresholded at its mean. Signed int64 (parquet-friendly)."""
+    lum = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = lum.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    ye = np.append(ys[1:], h)
+    xe = np.append(xs[1:], w)
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = lum[ys[i] : ye[i], xs[j] : xe[j]].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val

@@ -70,12 +70,24 @@ def _mix_sql(t: str) -> str:
     return f"(({h2}) / {flit(M)})"
 
 
-def u_sql(key: str, tag: int, seed: int, draw: int = 0) -> str:
+def u_sql(key: str, tag: int, seed: int, draw: int | str = 0) -> str:
     """Render u(key) as a single SQL scalar expression (valid in Spark SQL
     and DuckDB; ``key`` must be a non-negative BIGINT expression). The
     quadratic rounds inline the stage-1 expression multiple times; engines
     CSE it. Prefer CTE-style queries (compute ``t`` once as a column, then
-    ``u_from_t_sql``) when hand-writing SQL."""
+    ``u_from_t_sql``) when hand-writing SQL.
+
+    ``draw`` may be a SQL expression (str) — e.g. an attempt-counter column
+    for the containment retry loop — entering the same affine stage as the
+    folded constant, so int-draw and column-draw renderings are bit-equal.
+    """
+    if isinstance(draw, str):
+        c = _const(tag, seed, 0)
+        t = (
+            f"(((({key}) % {M}) * {A_KEY}"
+            f" + (({draw}) % {M}) * {A_DRAW} + {c}) % {M})"
+        )
+        return _mix_sql(t)
     c = _const(tag, seed, draw)
     t = f"(((({key}) % {M}) * {A_KEY} + {c}) % {M})"
     return _mix_sql(t)

@@ -1,0 +1,365 @@
+"""Driver-contract queries: every SURVEY §2 operator as a (Spark DataFrame
+callable, DuckDB oracle SQL) pair over the driver's star schema.
+
+The Spark side runs the ENGINE operators (cell joins, kNN escalation, PIP,
+hash-RNG masks); the oracle side expresses the same semantics as plain ANSI
+SQL (cross joins + window functions — correct but unscalable, which is the
+point: it is the ground truth, not the plan). Coordinates derive from key
+columns via the shared hash (sources/tables.py), so both sides are bit-
+identical; every float output is rounded to 6 dp (the reference's distance
+precision) before the driver hashes values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import analysis
+from ..functions import masksql
+from ..functions.rng import flit
+from ..operators.distance_join import dist_sql
+from ..operators.donut import donut
+from ..operators.locationswap import locationswap
+from ..operators.pip import pip_join
+from ..operators.snap import snap_to_nodes
+from ..operators.suppress import suppress
+from ..operators.voronoi import voronoi
+from ..sources import tables
+
+LOW, HIGH = 100.0, 500.0
+SEED = 42
+MIN_K = 10
+RECT = 2500.0  # containment grid cell size (8x4 rects over the 20x10 km box)
+
+PTS = tables.points_select("customer", "c_custkey")
+ADDR = tables.address_select()
+NODES = tables.nodes_select()
+
+
+def _chain(stages, src: str, prefix: str = "_c") -> tuple[str, str]:
+    """Render stage list as chained CTE bodies; returns (ctes, last_alias)."""
+    parts = []
+    prev = src
+    for i, (name, expr) in enumerate(stages):
+        a = f"{prefix}{i}"
+        parts.append(f"{a} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = a
+    return ", ".join(parts), prev
+
+
+def _masked_cte(distribution: str, attempt: int | str = 0, prefix: str = "_c") -> str:
+    """CTEs: pts -> m(pid, x, y, mx, my) at full precision."""
+    stages = masksql.donut_stages("pid", LOW, HIGH, SEED, distribution, attempt)
+    ctes, last = _chain(stages, "pts", prefix)
+    return (
+        f"pts AS ({PTS}), {ctes}, "
+        f"m AS (SELECT pid, x, y, x + _offx AS mx, y + _offy AS my FROM {last})"
+    )
+
+
+def _sens(spark: SparkSession, sf: str) -> DataFrame:
+    return tables.sensitive_df(spark, sf)
+
+
+# ---------------------------------------------------------------- masks ---
+
+def _q_donut(distribution: str):
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        m = donut(_sens(spark, sf), LOW, HIGH, SEED, distribution)
+        return m.select(
+            "pid", F.round("x", 6).alias("mx"), F.round("y", 6).alias("my")
+        )
+
+    sql = (
+        f"WITH {_masked_cte(distribution)} "
+        "SELECT pid, round(mx, 6) AS mx, round(my, 6) AS my FROM m"
+    )
+    return q, sql
+
+
+def _rect_containers(spark: SparkSession) -> DataFrame:
+    rows = []
+    for ix in range(8):
+        for iy in range(4):
+            x0, y0 = ix * RECT, iy * RECT
+            x1, y1 = x0 + RECT, y0 + RECT
+            ring = [
+                {"x": x0, "y": y0},
+                {"x": x1, "y": y0},
+                {"x": x1, "y": y1},
+                {"x": x0, "y": y1},
+            ]
+            rows.append((ix * 10 + iy, ring))
+    return spark.createDataFrame(
+        rows, "poly_id long, ring array<struct<x: double, y: double>>"
+    )
+
+
+def _q_donut_contained():
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        m = donut(
+            _sens(spark, sf), LOW, HIGH, SEED, "uniform",
+            container=_rect_containers(spark), max_attempts=64,
+        )
+        return m.select("pid", F.round("x", 6).alias("mx"), F.round("y", 6).alias("my"))
+
+    rid = lambda xc, yc: (  # noqa: E731
+        f"(CAST(floor(({xc}) / {flit(RECT)}) AS BIGINT) * 10"
+        f" + CAST(floor(({yc}) / {flit(RECT)}) AS BIGINT))"
+    )
+    stages = masksql.donut_stages("pid", LOW, HIGH, SEED, "uniform", attempt="a")
+    ctes, last = _chain(stages, "att")
+    sql = (
+        f"WITH pts AS ({PTS}), "
+        f"ph AS (SELECT pid, x, y, {rid('x', 'y')} AS home FROM pts), "
+        "att AS (SELECT * FROM ph CROSS JOIN (SELECT unnest(range(0, 64)) AS a) _t), "
+        f"{ctes}, "
+        f"m AS (SELECT pid, x + _offx AS mx, y + _offy AS my, home, a FROM {last}), "
+        f"ok AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY a) AS rn "
+        f"FROM m WHERE {rid('mx', 'my')} = home) "
+        "SELECT pid, round(mx, 6) AS mx, round(my, 6) AS my FROM ok WHERE rn = 1"
+    )
+    return q, sql
+
+
+def _q_locationswap():
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        m = locationswap(
+            _sens(spark, sf), LOW, HIGH, tables.address_df(spark, sf), SEED
+        )
+        return m.select(
+            "pid", F.round("x", 6).alias("mx"), F.round("y", 6).alias("my"), "UNMASKED"
+        )
+
+    u = masksql.swap_u("pid", "aid", SEED)
+    sql = (
+        f"WITH pts AS ({PTS}), addr AS ({ADDR}), "
+        f"cand AS (SELECT p.pid, p.x, p.y, a.aid, a.ax, a.ay, "
+        f"{dist_sql('p.x', 'p.y', 'a.ax', 'a.ay')} AS dist FROM pts p CROSS JOIN addr a), "
+        f"ann AS (SELECT * FROM cand WHERE dist <= {flit(HIGH)} AND dist > {flit(LOW)}), "
+        f"pick AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY {u}, aid) AS rn FROM ann) "
+        "SELECT p.pid, round(coalesce(k.ax, p.x), 6) AS mx, round(coalesce(k.ay, p.y), 6) AS my, "
+        "CASE WHEN k.aid IS NULL THEN 1 ELSE 0 END AS UNMASKED "
+        "FROM pts p LEFT JOIN (SELECT * FROM pick WHERE rn = 1) k ON p.pid = k.pid"
+    )
+    return q, sql
+
+
+def _q_voronoi():
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        m = voronoi(_sens(spark, sf))
+        return m.select("pid", F.round("x", 6).alias("mx"), F.round("y", 6).alias("my"))
+
+    sql = (
+        f"WITH pts AS ({PTS}), "
+        f"pairs AS (SELECT a.pid, a.x, a.y, b.pid AS qid, b.x AS qx, b.y AS qy, "
+        f"{dist_sql('a.x', 'a.y', 'b.x', 'b.y')} AS dist "
+        "FROM pts a CROSS JOIN pts b WHERE a.pid <> b.pid), "
+        "nn AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY dist, qid) AS rn FROM pairs) "
+        "SELECT pid, round((x + qx) / 2.0, 6) AS mx, round((y + qy) / 2.0, 6) AS my "
+        "FROM nn WHERE rn = 1"
+    )
+    return q, sql
+
+
+def _q_snap():
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        m = snap_to_nodes(
+            _sens(spark, sf), tables.nodes_df(spark, sf), broadcast_nodes=True
+        )
+        return m.select("pid", F.round("x", 6).alias("mx"), F.round("y", 6).alias("my"))
+
+    sql = (
+        f"WITH pts AS ({PTS}), nodes AS ({NODES}), "
+        f"pairs AS (SELECT p.pid, n.node_id, n.nx, n.ny, "
+        f"{dist_sql('p.x', 'p.y', 'n.nx', 'n.ny')} AS dist FROM pts p CROSS JOIN nodes n), "
+        "nn AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY dist, node_id) AS rn FROM pairs) "
+        "SELECT pid, round(nx, 6) AS mx, round(ny, 6) AS my FROM nn WHERE rn = 1"
+    )
+    return q, sql
+
+
+# ------------------------------------------------------------ analytics ---
+
+# Shared oracle CTE: donut-uniform mask + per-point k (closed-disk contract).
+_K_CTE = (
+    f"WITH {_masked_cte('uniform')}, addr AS ({ADDR}), "
+    f"disp AS (SELECT pid, mx, my, {dist_sql('mx', 'my', 'x', 'y')} AS radius FROM m), "
+    f"cnt AS (SELECT d.pid, count(*) AS c FROM disp d JOIN addr a "
+    f"ON {dist_sql('d.mx', 'd.my', 'a.ax', 'a.ay')} <= d.radius GROUP BY d.pid), "
+    "kt AS (SELECT m.pid, m.mx, m.my, CAST(coalesce(c.c + 1, 1) AS BIGINT) AS k_anonymity "
+    "FROM m LEFT JOIN cnt c ON m.pid = c.pid)"
+)
+
+
+def _kdf(spark: SparkSession, sf: str) -> DataFrame:
+    sens = _sens(spark, sf)
+    m = donut(sens, LOW, HIGH, SEED, "uniform")
+    return analysis.k_anonymity_address(
+        sens, m, tables.address_df(spark, sf), max_radius=HIGH
+    )
+
+
+def _q_k_anonymity():
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return _kdf(spark, sf).select("pid", "k_anonymity")
+
+    sql = f"{_K_CTE} SELECT pid, k_anonymity FROM kt"
+    return q, sql
+
+
+def _q_k_satisfaction():
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        k = _kdf(spark, sf)
+        return k.agg(
+            *[
+                F.round(
+                    F.sum(F.when(F.col("k_anonymity") >= mk, 1).otherwise(0))
+                    / F.count("k_anonymity"),
+                    3,
+                ).alias(f"k_satisfaction_{mk}")
+                for mk in (5, 25, 50)
+            ]
+        )
+
+    sats = ", ".join(
+        f"round(sum(CASE WHEN k_anonymity >= {mk} THEN 1 ELSE 0 END) / count(*), 3)"
+        f" AS k_satisfaction_{mk}"
+        for mk in (5, 25, 50)
+    )
+    sql = f"{_K_CTE} SELECT {sats} FROM kt"
+    return q, sql
+
+
+def _q_summarize_k():
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return analysis.summarize_k(_kdf(spark, sf))
+
+    sql = (
+        f"{_K_CTE} SELECT CAST(min(k_anonymity) AS BIGINT) AS k_min, "
+        "CAST(max(k_anonymity) AS BIGINT) AS k_max, "
+        "round(median(CAST(k_anonymity AS DOUBLE)), 2) AS k_med, "
+        "round(avg(k_anonymity), 2) AS k_mean FROM kt"
+    )
+    return q, sql
+
+
+def _q_suppress():
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        s = suppress(_kdf(spark, sf), MIN_K)
+        return s.select(
+            "pid",
+            F.round("x", 6).alias("sx"),
+            F.round("y", 6).alias("sy"),
+            "SUPPRESSED",
+        )
+
+    sql = (
+        f"{_K_CTE}, cent AS (SELECT avg(mx) AS cx, avg(my) AS cy FROM kt) "
+        f"SELECT pid, "
+        f"round(CASE WHEN k_anonymity < {MIN_K} THEN cx ELSE mx END, 6) AS sx, "
+        f"round(CASE WHEN k_anonymity < {MIN_K} THEN cy ELSE my END, 6) AS sy, "
+        f"CASE WHEN k_anonymity < {MIN_K} THEN 'TRUE' ELSE 'FALSE' END AS SUPPRESSED "
+        "FROM kt CROSS JOIN cent"
+    )
+    return q, sql
+
+
+def _q_displacement_summary():
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        sens = _sens(spark, sf)
+        m = donut(sens, LOW, HIGH, SEED, "uniform")
+        return analysis.summarize_displacement(analysis.displacement(sens, m))
+
+    sql = (
+        f"WITH {_masked_cte('uniform')}, "
+        f"d AS (SELECT {dist_sql('mx', 'my', 'x', 'y')} AS dist FROM m) "
+        "SELECT round(min(dist), 6) AS displacement_min, round(max(dist), 6) AS displacement_max, "
+        "round(median(dist), 6) AS displacement_med, round(avg(dist), 6) AS displacement_mean FROM d"
+    )
+    return q, sql
+
+
+def _q_central_drift():
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        sens = _sens(spark, sf)
+        m = donut(sens, LOW, HIGH, SEED, "uniform")
+        return analysis.central_drift(sens, m)
+
+    sql = (
+        f"WITH {_masked_cte('uniform')}, "
+        "a AS (SELECT avg(x) AS ax, avg(y) AS ay FROM pts), "
+        "b AS (SELECT avg(mx) AS bx, avg(my) AS by FROM m) "
+        f"SELECT round({dist_sql('ax', 'ay', 'bx', 'by')}, 6) AS central_drift "
+        "FROM a CROSS JOIN b"
+    )
+    return q, sql
+
+
+def _q_nnd_delta():
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        sens = _sens(spark, sf)
+        m = donut(sens, LOW, HIGH, SEED, "uniform")
+        return analysis.nnd_delta(sens, m)
+
+    def nnd_sql(src, xc, yc):
+        return (
+            f"(SELECT min(d) AS dmin, max(d) AS dmax, avg(d) AS dmean FROM ("
+            f"SELECT a.pid, min({dist_sql(f'a.{xc}', f'a.{yc}', f'b.{xc}', f'b.{yc}')}) AS d "
+            f"FROM {src} a CROSS JOIN {src} b WHERE a.pid <> b.pid GROUP BY a.pid))"
+        )
+
+    sql = (
+        f"WITH {_masked_cte('uniform')}, "
+        f"m2 AS (SELECT pid, mx AS x, my AS y FROM m), "
+        f"bf AS {nnd_sql('pts', 'x', 'y')}, af AS {nnd_sql('m2', 'x', 'y')} "
+        "SELECT round(af.dmin - bf.dmin, 6) AS nnd_min_delta, "
+        "round(af.dmax - bf.dmax, 6) AS nnd_max_delta, "
+        "round(af.dmean - bf.dmean, 6) AS nnd_mean_delta "
+        "FROM bf CROSS JOIN af"
+    )
+    return q, sql
+
+
+def _q_pip_count():
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        inside = pip_join(_sens(spark, sf), _rect_containers(spark))
+        return (
+            inside.groupBy("poly_id")
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .orderBy("poly_id")
+        )
+
+    sql = (
+        f"WITH pts AS ({PTS}) "
+        f"SELECT (CAST(floor(x / {flit(RECT)}) AS BIGINT) * 10"
+        f" + CAST(floor(y / {flit(RECT)}) AS BIGINT)) AS poly_id, "
+        "count(*) AS n_points FROM pts "
+        f"WHERE x >= 0 AND x < {flit(8 * RECT)} AND y >= 0 AND y < {flit(4 * RECT)} "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    return q, sql
+
+
+# ------------------------------------------------------------- registry ---
+
+def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    reg: dict[str, tuple[Callable, str | None]] = {}
+    reg["donut_uniform"] = _q_donut("uniform")
+    reg["donut_gaussian"] = _q_donut("gaussian")
+    reg["donut_areal"] = _q_donut("areal")
+    reg["donut_contained"] = _q_donut_contained()
+    reg["locationswap"] = _q_locationswap()
+    reg["voronoi"] = _q_voronoi()
+    reg["snap_to_nodes"] = _q_snap()
+    reg["k_anonymity_address"] = _q_k_anonymity()
+    reg["k_satisfaction"] = _q_k_satisfaction()
+    reg["summarize_k"] = _q_summarize_k()
+    reg["suppress"] = _q_suppress()
+    reg["displacement_summary"] = _q_displacement_summary()
+    reg["central_drift"] = _q_central_drift()
+    reg["nnd_delta"] = _q_nnd_delta()
+    reg["pip_count"] = _q_pip_count()
+    return reg

@@ -1,0 +1,168 @@
+"""Deterministic synthetic fixtures (FIXTURES.md), including the
+image+caption sensitive table from ``input_hint``.
+
+All randomness comes from the engine's own counter-based hash (functions/
+rng.py) keyed on row id — identical tables regardless of process, partition
+count, or generation order. Small tables are built driver-side; the bench-
+scale image table is generated DISTRIBUTED via mapInPandas over
+``spark.range`` so 10^6–10^7-row fixtures never sit in driver memory
+(and the same plan would generate 10^12 rows on a real cluster).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import imagecodec, rng
+
+BOX_W = 20000.0
+BOX_H = 10000.0
+N_CLUSTERS = 5
+SIGMA = 800.0
+BACKGROUND = 0.10  # uniform background fraction
+FMTS = ["ppm", "bmp", "png"]
+SIZES = [16, 32, 64]
+
+# fixture-local draw tags (disjoint from mask tags)
+_T_CL, _T_BG, _T_GX1, _T_GX2, _T_GY1, _T_GY2, _T_UX, _T_UY = range(201, 209)
+_T_W, _T_H, _T_PIX, _T_CAP = range(210, 214)
+
+_WORDS = [
+    "harbor", "pine", "granite", "raven", "tide", "lantern", "moss",
+    "ferry", "cedar", "gull", "slope", "inlet", "bridge", "fog",
+]
+
+
+def cluster_centers(seed: int) -> np.ndarray:
+    ids = np.arange(1, N_CLUSTERS + 1)
+    cx = rng.u_np(ids, _T_CL, seed, 1) * BOX_W
+    cy = rng.u_np(ids, _T_CL, seed, 2) * BOX_H
+    return np.stack([cx, cy], axis=1)
+
+
+def point_pattern(ids: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Clustered coordinates: gaussian blobs around 5 centers + uniform
+    background (FIXTURES.md §1). Vectorized Box-Muller on hash uniforms."""
+    centers = cluster_centers(seed)
+    is_bg = rng.u_np(ids, _T_BG, seed) < BACKGROUND
+    which = (rng.u_np(ids, _T_CL, seed) * N_CLUSTERS).astype(np.int64) % N_CLUSTERS
+    u1 = rng.u_np(ids, _T_GX1, seed)
+    u2 = rng.u_np(ids, _T_GX2, seed)
+    u3 = rng.u_np(ids, _T_GY1, seed)
+    u4 = rng.u_np(ids, _T_GY2, seed)
+    gx = np.sqrt(-2.0 * np.log(1.0 - u1)) * np.cos(2.0 * np.pi * u2)
+    gy = np.sqrt(-2.0 * np.log(1.0 - u3)) * np.cos(2.0 * np.pi * u4)
+    x = centers[which, 0] + SIGMA * gx
+    y = centers[which, 1] + SIGMA * gy
+    bx = rng.u_np(ids, _T_UX, seed) * BOX_W
+    by = rng.u_np(ids, _T_UY, seed) * BOX_H
+    x = np.where(is_bg, bx, np.clip(x, 0.0, BOX_W))
+    y = np.where(is_bg, by, np.clip(y, 0.0, BOX_H))
+    return x, y
+
+
+def make_image(i: int, seed: int) -> tuple[bytes, int, int, str, int]:
+    """Deterministic synthetic image: gradient + hash noise."""
+    w = SIZES[int(rng.u_np(np.array([i]), _T_W, seed)[0] * len(SIZES)) % len(SIZES)]
+    h = SIZES[int(rng.u_np(np.array([i]), _T_H, seed)[0] * len(SIZES)) % len(SIZES)]
+    fmt = FMTS[i % len(FMTS)]
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 3 + yy * 7 + i * 13) % 256
+    noise_keys = (np.arange(h * w, dtype=np.int64) * 977 + i) % (1 << 31)
+    noise = (rng.u_np(noise_keys, _T_PIX, seed) * 64).astype(np.uint8).reshape(h, w)
+    img = np.stack(
+        [
+            (base + noise) % 256,
+            (base * 2 + noise) % 256,
+            (base * 3 + noise // 2) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    data = imagecodec.encode(img, fmt)
+    return data, w, h, fmt, imagecodec.average_hash(img)
+
+
+def caption(i: int, seed: int) -> str:
+    ks = np.arange(5, dtype=np.int64) + i * 11
+    idx = (rng.u_np(ks, _T_CAP, seed) * len(_WORDS)).astype(np.int64) % len(_WORDS)
+    return f"caption for img{i:08d}: " + " ".join(_WORDS[j] for j in idx)
+
+
+def _image_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
+    xs, ys = point_pattern(ids, seed)
+    rows = []
+    for n, i in enumerate(ids):
+        data, w, h, fmt, ph = make_image(int(i), seed)
+        rows.append(
+            (f"img{int(i):08d}", int(i), data, w, h, fmt, caption(int(i), seed), ph,
+             float(xs[n]), float(ys[n]))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "pid", "bytes", "w", "h", "fmt", "caption", "phash", "x", "y"],
+    )
+
+
+IMAGE_SCHEMA = (
+    "image_id string, pid long, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, x double, y double"
+)
+
+
+def sensitive_images(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Distributed generation: spark.range -> per-batch numpy synthesis.
+    ``pid`` (long) is the engine key; ``image_id`` the input_hint string id."""
+    def gen(batches):
+        for pdf in batches:
+            yield _image_batch(pdf["id"].to_numpy(), seed)
+
+    parts = max(8, min(256, n // 2000 + 1))
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
+def sensitive_points_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Driver-side small point fixture (no image payload)."""
+    ids = np.arange(n, dtype=np.int64)
+    x, y = point_pattern(ids, seed)
+    return pd.DataFrame({"pid": ids, "x": x, "y": y})
+
+
+def addresses_pdf(m: int, seed: int = 43) -> pd.DataFrame:
+    ids = np.arange(m, dtype=np.int64)
+    x, y = point_pattern(ids, seed)
+    return pd.DataFrame({"aid": ids, "ax": x, "ay": y})
+
+
+def road_nodes_pdf(spacing: float = 150.0, seed: int = 44) -> pd.DataFrame:
+    """Perturbed grid road nodes over the box (FIXTURES.md §4); ~1% deleted
+    to create dead ends."""
+    nx = int(BOX_W / spacing)
+    ny = int(BOX_H / spacing)
+    ids = np.arange(nx * ny, dtype=np.int64)
+    gx = (ids % nx).astype(np.float64) * spacing + spacing / 2
+    gy = (ids // nx).astype(np.float64) * spacing + spacing / 2
+    jx = (rng.u_np(ids, 221, seed) - 0.5) * 60.0
+    jy = (rng.u_np(ids, 222, seed) - 0.5) * 60.0
+    keep = rng.u_np(ids, 223, seed) >= 0.01
+    return pd.DataFrame(
+        {"node_id": ids[keep], "nx": (gx + jx)[keep], "ny": (gy + jy)[keep]}
+    )
+
+
+def road_edges_pdf(nodes: pd.DataFrame, spacing: float = 150.0) -> pd.DataFrame:
+    """4-neighbor grid edges between surviving nodes, both directions."""
+    nx = int(BOX_W / spacing)
+    idx = {int(i): (float(x), float(y)) for i, x, y in nodes.itertuples(index=False)}
+    src, dst, length = [], [], []
+    for i, (x, y) in idx.items():
+        for j in (i + 1, i + nx):
+            if (i + 1 == j and (i % nx) == nx - 1) or j not in idx:
+                continue
+            x2, y2 = idx[j]
+            d = float(np.hypot(x - x2, y - y2))
+            src += [i, j]
+            dst += [j, i]
+            length += [d, d]
+    return pd.DataFrame({"src": src, "dst": dst, "length": length})
