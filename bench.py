@@ -1,0 +1,122 @@
+"""Benchmark harness: headline mask + k-verification queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "rows": ..., "throughput_rows_per_sec": ...}
+
+Headline jobs (the BASELINE.json metric: masked points/sec + k-anonymity
+verification wall-time):
+  q_donut_mask_600k    donut-mask the lineitem-derived point table
+  q_k_verify           displacement-radius distance join vs orders-derived
+                       addresses + count aggregate (closed-disk k)
+  q_locationswap       annulus join + deterministic pick
+  q_voronoi_nn         exact kNN self-join -> bisector midpoint
+  q_pipeline           mask -> k-verify -> k_satisfaction end-to-end
+
+Scaling evidence for the north rule (N vs 4N) is produced by
+BENCH/run_scaling.py, which runs this same workload at local[8] and
+local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_jobs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from maskmypy_spark import analysis
+    from maskmypy_spark.operators.donut import donut
+    from maskmypy_spark.operators.locationswap import locationswap
+    from maskmypy_spark.operators.voronoi import voronoi
+    from maskmypy_spark.sources import tables
+
+    pts = tables.big_points_df(spark, sf_dir).cache()
+    n_rows = pts.count()
+    addr = tables.address_df(spark, sf_dir).cache()
+    addr.count()
+
+    def _run_count(df):
+        # Force full execution without collecting rows to the driver.
+        return df.select(F.count(F.lit(1))).collect()[0][0]
+
+    def q_donut_mask(_=None):
+        m = donut(pts, 100.0, 500.0, seed=42)
+        return _run_count(m.select("pid", "x", "y"))
+
+    def q_k_verify(_=None):
+        m = donut(pts, 100.0, 500.0, seed=42)
+        k = analysis.k_anonymity_address(pts, m, addr, max_radius=500.0)
+        return _run_count(k.select("pid", "k_anonymity"))
+
+    def q_locationswap(_=None):
+        m = locationswap(pts, 100.0, 500.0, addr, seed=42)
+        return _run_count(m)
+
+    def q_voronoi_nn(_=None):
+        m = voronoi(pts)
+        return _run_count(m)
+
+    def q_pipeline(_=None):
+        m = donut(pts, 100.0, 500.0, seed=42)
+        k = analysis.k_anonymity_address(pts, m, addr, max_radius=500.0)
+        return float(analysis.k_satisfaction(k, 10).collect()[0][0])
+
+    jobs = {
+        "q_donut_mask": q_donut_mask,
+        "q_k_verify": q_k_verify,
+        "q_locationswap": q_locationswap,
+        "q_voronoi_nn": q_voronoi_nn,
+        "q_pipeline": q_pipeline,
+    }
+    return jobs, n_rows
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    warmups = int(os.environ.get("BENCH_WARMUP", "1"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+
+    from maskmypy_spark.session import get_spark
+
+    spark = get_spark(app="maskmypy-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    jobs, n_rows = build_jobs(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name, fn in jobs.items():
+        for _ in range(warmups):
+            fn()
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        timings[name] = round(ts[len(ts) // 2], 3)
+
+    headline = timings["q_pipeline"]
+    out = {
+        "metric": "mask+k-verify pipeline wall-time (donut mask -> k-anonymity distance join -> satisfaction)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "rows": n_rows,
+        "cpus": cpus,
+        "throughput_rows_per_sec": round(n_rows / headline, 1) if headline else None,
+        "mask_rows_per_sec": round(n_rows / timings["q_donut_mask"], 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,23 +35,42 @@ def donut_stages(
     sequential ``withColumn`` (Spark) or nested CTEs (oracle SQL).
     """
     low, high = float(low), float(high)
+
+    def draw(name: str, tag: int) -> list[tuple[str, str]]:
+        # Micro-staged rendering of the hash-RNG: t -> h1 -> u as SEPARATE
+        # columns. One inlined mega-expression per draw blows whole-stage
+        # codegen's 64KB method limit (interpreted fallback, ~4x slower);
+        # staged columns keep every expression tiny and codegen-able while
+        # executing the exact same integer/float operation sequence.
+        t = f"_t{name}"
+        g = f"_g{name}"
+        return [
+            (t, rng.t_sql(key, tag, seed, attempt)),
+            (g, f"({t} * {t} % {rng.M} + {t} * {rng.B1} % {rng.M} + {rng.C1}) % {rng.M}"),
+            (
+                name,
+                f"(({g} * {g} % {rng.M} + {g} * {rng.B2} % {rng.M} + {rng.C2})"
+                f" % {rng.M}) / {flit(rng.M)}",
+            ),
+        ]
+
     stages: list[tuple[str, str]] = [
-        ("_u1", rng.u_sql(key, rng.TAG_DONUT_R, seed, attempt)),
-        ("_u2", rng.u_sql(key, rng.TAG_DONUT_X, seed, attempt)),
-        ("_u3", rng.u_sql(key, rng.TAG_DONUT_Q, seed, attempt)),
+        *draw("_u1", rng.TAG_DONUT_R),
+        *draw("_u2", rng.TAG_DONUT_X),
+        *draw("_u3", rng.TAG_DONUT_Q),
     ]
     if distribution == "uniform":
         stages.append(("_hyp", f"{flit(low)} + ({flit(high)} - {flit(low)}) * _u1"))
     elif distribution == "gaussian":
         mean = (high - low) / 2.0 + low
         sigma = ((high - low) / 2.0) / 2.5
-        stages.append(("_u4", rng.u_sql(key, rng.TAG_DONUT_R2, seed, attempt)))
+        stages.extend(draw("_u4", rng.TAG_DONUT_R2))
         stages.append(
             ("_z", "sqrt(-2.0 * ln(1.0 - _u1)) * cos(2.0 * pi() * _u4)")
         )
         stages.append(("_hyp", f"abs({flit(mean)} + {flit(sigma)} * _z)"))
     elif distribution == "areal":
-        stages.append(("_u4", rng.u_sql(key, rng.TAG_DONUT_R2, seed, attempt)))
+        stages.extend(draw("_u4", rng.TAG_DONUT_R2))
         stages.append(
             (
                 "_hyp",
@@ -84,7 +103,8 @@ def donut_stages(
     return stages
 
 
-DONUT_TEMP_COLS = ["_u1", "_u2", "_u3", "_u4", "_z", "_hyp", "_ox", "_oy", "_offx", "_offy"]
+def donut_temp_cols(stages: list[tuple[str, str]]) -> list[str]:
+    return [name for name, _ in stages]
 
 
 def donut_cte(

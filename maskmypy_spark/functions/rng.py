@@ -93,9 +93,16 @@ def u_sql(key: str, tag: int, seed: int, draw: int | str = 0) -> str:
     return _mix_sql(t)
 
 
-def t_sql(key: str, tag: int, seed: int, draw: int = 0) -> str:
+def t_sql(key: str, tag: int, seed: int, draw: int | str = 0) -> str:
     """Stage-1 (affine) value as a SQL expression — compute it once as a
-    CTE column named e.g. ``t1``, then apply ``u_from_t_sql('t1')``."""
+    CTE column named e.g. ``t1``, then apply ``u_from_t_sql('t1')``.
+    ``draw`` may be a SQL expression, as in ``u_sql``."""
+    if isinstance(draw, str):
+        c = _const(tag, seed, 0)
+        return (
+            f"(((({key}) % {M}) * {A_KEY}"
+            f" + (({draw}) % {M}) * {A_DRAW} + {c}) % {M})"
+        )
     c = _const(tag, seed, draw)
     return f"(((({key}) % {M}) * {A_KEY} + {c}) % {M})"
 

@@ -33,7 +33,7 @@ def _offsets(df, key, low, high, seed, distribution, attempt, x, y) -> DataFrame
     stages = masksql.donut_stages(key, low, high, seed, distribution, attempt)
     out = _apply_stages(df, stages)
     out = out.withColumn(x, F.expr(f"{x} + _offx")).withColumn(y, F.expr(f"{y} + _offy"))
-    return out.drop(*masksql.DONUT_TEMP_COLS)
+    return out.drop(*masksql.donut_temp_cols(stages))
 
 
 def donut(
