@@ -1,0 +1,216 @@
+"""Street mask — displace each point to a road node whose network distance
+from the snapped node is closest to the mean distance of its K nearest
+network neighbors (K random per point).
+
+Reference: /root/reference/maskmypy/masks/street.py:202-293.
+ - :236-249 snap to nearest node having >=1 neighbor within max_length;
+   the reference DELETES failing nodes from a temp graph while scanning, so
+   its result depends on point iteration order — no distributed analogue.
+   Engine divergence (SURVEY §7 hard-part 3): node validity is a GLOBAL
+   precomputed property (>=1 incident edge <= max_length), order-free.
+ - :253 target_node_count = rng.integers(low, high, endpoint=False)
+   => engine: low + floor(u * (high - low)), u from the per-row hash-RNG.
+ - :257-262 Dijkstra with cutoff doubling until >= target nodes reached.
+ - :264-283 take the target_node_count nearest nodes by network distance
+   (dict insertion order == heap pop order == nondecreasing distance),
+   target_distance = their mean, move to the node minimizing
+   |dist - target_distance|. Engine tie-breaks by (distance, node_id) —
+   deterministic under any partitioning (networkx's heap order is not).
+
+Execution: roads are a broadcast CSR (numpy int/float arrays — the graph is
+a small dimension vs the point fact table); snapping is the exact kNN join;
+Dijkstras run ONCE PER DISTINCT (snapped node, target) pair via
+applyInPandas, then equi-join back to points — at scale, millions of points
+collapse onto the (bounded) set of road nodes, so Dijkstra work is O(nodes),
+not O(points).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import rng
+from ..functions.rng import flit
+from .knn import nearest_neighbor
+
+
+def build_csr(nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame, max_length: float):
+    """Dense-index CSR adjacency + node coordinate arrays (driver-side;
+    broadcast to executors via task closure / sc.broadcast)."""
+    ids = nodes_pdf["node_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    xs = nodes_pdf["nx"].to_numpy(np.float64)[order]
+    ys = nodes_pdf["ny"].to_numpy(np.float64)[order]
+    remap = {int(v): i for i, v in enumerate(ids)}
+    src = edges_pdf["src"].map(remap).to_numpy()
+    dst = edges_pdf["dst"].map(remap).to_numpy()
+    w = edges_pdf["length"].to_numpy(np.float64)
+    s = np.argsort(src, kind="stable")
+    src, dst, w = src[s], dst[s], w[s]
+    indptr = np.searchsorted(src, np.arange(len(ids) + 1))
+    # global node validity: >=1 incident edge with length <= max_length
+    valid = np.zeros(len(ids), dtype=bool)
+    ok = w <= max_length
+    valid[src[ok]] = True
+    valid[dst[ok]] = True
+    return {
+        "ids": ids, "xs": xs, "ys": ys,
+        "indptr": indptr, "indices": dst, "weights": w, "valid": valid,
+    }
+
+
+def _dijkstra_pick(csr, start_dense: int, target: int, max_length: float):
+    """First `target` nodes by network distance (cutoff-doubling), then the
+    node minimizing (|d - mean|, node_id). Returns dense node index."""
+    indptr, indices, weights = csr["indptr"], csr["indices"], csr["weights"]
+    cutoff = max_length
+    while True:
+        dist: dict[int, float] = {}
+        heap = [(0.0, start_dense)]
+        while heap:
+            d, u = heapq.heappop(heap)
+            if u in dist:
+                continue
+            if d > cutoff:
+                continue
+            dist[u] = d
+            for e in range(indptr[u], indptr[u + 1]):
+                v = indices[e]
+                nd = d + weights[e]
+                if nd <= cutoff and v not in dist:
+                    heapq.heappush(heap, (nd, v))
+        if len(dist) >= target:
+            break
+        cutoff *= 2.0
+    items = sorted(dist.items(), key=lambda kv: (kv[1], csr["ids"][kv[0]]))[:target]
+    mean_d = sum(d for _, d in items) / target
+    best = min(items, key=lambda kv: (abs(kv[1] - mean_d), csr["ids"][kv[0]]))
+    return best[0]
+
+
+def street(
+    df: DataFrame,
+    low: int,
+    high: int,
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_length: float = 1000.0,
+    seed: int | None = None,
+    key: str = "pid",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Mask points onto the road network (all payload columns preserved)."""
+    if low >= high:
+        raise ValueError("Minimum target node count must be below maximum.")
+    seed = rng.gen_seed() if not seed else seed
+
+    spark = df.sparkSession
+    nodes_pdf = nodes.toPandas()
+    edges_pdf = edges.toPandas()
+    csr = build_csr(nodes_pdf, edges_pdf, max_length)
+    bc = spark.sparkContext.broadcast(csr)
+
+    valid_nodes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "_sn_id": csr["ids"][csr["valid"]],
+                "_sn_x": csr["xs"][csr["valid"]],
+                "_sn_y": csr["ys"][csr["valid"]],
+            }
+        )
+    )
+    snapped = nearest_neighbor(
+        df, valid_nodes, key=key, x=x, y=y,
+        okey="_sn_id", ox="_sn_x", oy="_sn_y", broadcast_others=True,
+    ).drop("_sn_x", "_sn_y", "nn_dist")
+
+    # per-row target node count from the hash-RNG: low + floor(u*(high-low))
+    snapped = snapped.withColumn(
+        "_target",
+        (
+            F.lit(int(low))
+            + F.floor(
+                F.expr(rng.u_sql(key, rng.TAG_STREET_N, seed)) * F.lit(int(high - low))
+            )
+        ).cast("int"),
+    )
+
+    configs = snapped.select("_sn_id", "_target").distinct()
+
+    def run_configs(it):
+        csr_l = bc.value
+        remap = {int(v): i for i, v in enumerate(csr_l["ids"])}
+        for pdf in it:
+            outs = []
+            for nid, tgt in zip(pdf["_sn_id"], pdf["_target"]):
+                dense = _dijkstra_pick(csr_l, remap[int(nid)], int(tgt), max_length)
+                outs.append(
+                    (int(nid), int(tgt), float(csr_l["xs"][dense]), float(csr_l["ys"][dense]))
+                )
+            yield pd.DataFrame(
+                outs, columns=["_sn_id", "_target", "_mx", "_my"]
+            )
+
+    resolved = configs.repartition(max(8, spark.sparkContext.defaultParallelism)).mapInPandas(
+        run_configs, schema="_sn_id long, _target int, _mx double, _my double"
+    )
+
+    out = snapped.join(resolved, ["_sn_id", "_target"])
+    return (
+        out.withColumn(x, F.col("_mx"))
+        .withColumn(y, F.col("_my"))
+        .drop("_sn_id", "_target", "_mx", "_my")
+    )
+
+
+def street_k(
+    df: DataFrame,
+    address: DataFrame,
+    min_k: int = 30,
+    start: int = 10,
+    stop: int = 60,
+    spread: int = 2,
+    increment: int = 2,
+    suppression: float = 0.99,
+    max_length: float = 1000.0,
+    seed: int | None = None,
+    nodes: DataFrame | None = None,
+    edges: DataFrame | None = None,
+    key: str = "pid",
+    x: str = "x",
+    y: str = "y",
+    on_iteration=None,
+) -> DataFrame:
+    """Adaptive privacy loop (reference masks/street.py:82-192): escalate
+    (low, high) until k-satisfaction(min_k) >= suppression, then suppress
+    sub-min_k points. Each iteration is one Spark job chain; per-iteration
+    metrics go to ``on_iteration`` (the lineage manifest hooks in here,
+    making the loop resumable at iteration granularity)."""
+    from .. import analysis
+    from .suppress import suppress as suppress_op
+
+    seed = rng.gen_seed() if not seed else seed
+    low = start
+    while True:
+        masked = street(
+            df, low, low + spread, nodes, edges,
+            max_length=max_length, seed=seed, key=key, x=x, y=y,
+        )
+        kdf = analysis.k_anonymity_address(df, masked, address, key=key, x=x, y=y)
+        sat = analysis.k_satisfaction_value(kdf, min_k)
+        if on_iteration is not None:
+            on_iteration({"low": low, "high": low + spread, "k_satisfaction": sat})
+        if sat >= suppression:
+            return suppress_op(kdf, min_k, x=x, y=y)
+        low += increment
+        if low > stop:
+            raise RuntimeError(
+                f"street_k reached stop={stop} without satisfying k={min_k} "
+                f"at suppression={suppression}"
+            )

@@ -58,8 +58,10 @@ def point_pattern(ids: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray]:
     y = centers[which, 1] + SIGMA * gy
     bx = rng.u_np(ids, _T_UX, seed) * BOX_W
     by = rng.u_np(ids, _T_UY, seed) * BOX_H
-    x = np.where(is_bg, bx, np.clip(x, 0.0, BOX_W))
-    y = np.where(is_bg, by, np.clip(y, 0.0, BOX_H))
+    # clip gaussian tails strictly inside the box (boundary-exact points
+    # would sit on container tiling edges — degenerate for PIP)
+    x = np.where(is_bg, bx, np.clip(x, 1.0, BOX_W - 1.0))
+    y = np.where(is_bg, by, np.clip(y, 1.0, BOX_H - 1.0))
     return x, y
 
 

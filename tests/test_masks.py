@@ -1,0 +1,161 @@
+"""Behavioral mask tests — the reference's test idioms (SURVEY §5) ported
+to the engine: statistical bounds, seed determinism, input immutability,
+containment invariants, street-node coincidence.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from maskmypy_spark import analysis
+from maskmypy_spark.operators.donut import donut
+from maskmypy_spark.operators.locationswap import locationswap
+from maskmypy_spark.operators.street import street
+from maskmypy_spark.operators.voronoi import voronoi
+from maskmypy_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(fixtures.sensitive_points_pdf(400, seed=42)).cache()
+
+
+@pytest.fixture(scope="module")
+def addresses(spark):
+    return spark.createDataFrame(fixtures.addresses_pdf(4000, seed=43)).cache()
+
+
+@pytest.fixture(scope="module")
+def roads(spark):
+    nodes = fixtures.road_nodes_pdf(spacing=300.0)
+    edges = fixtures.road_edges_pdf(nodes, spacing=300.0)
+    return spark.createDataFrame(nodes).cache(), spark.createDataFrame(edges).cache()
+
+
+def _disp(points, masked):
+    return (
+        analysis.displacement(points, masked)
+        .select("_distance")
+        .toPandas()["_distance"]
+        .to_numpy()
+    )
+
+
+def test_donut_uniform_bounds_and_mean(points):
+    """reference tests/masks/test_donut.py:10-25"""
+    d = _disp(points, donut(points, 50.0, 500.0, seed=123))
+    assert d.min() >= 50.0 and d.max() <= 500.0
+    mid = (500.0 - 50.0) / 2 + 50.0
+    assert abs(d.mean() - mid) < 0.2 * mid  # uniform mean ~ midpoint
+
+
+def test_donut_gaussian_mean(points):
+    d = _disp(points, donut(points, 50.0, 500.0, seed=123, distribution="gaussian"))
+    mid = (500.0 - 50.0) / 2 + 50.0
+    assert abs(d.mean() - mid) < 0.1 * mid
+
+
+def test_donut_areal_skews_far(points):
+    du = _disp(points, donut(points, 50.0, 500.0, seed=9))
+    da = _disp(points, donut(points, 50.0, 500.0, seed=9, distribution="areal"))
+    assert da.mean() > du.mean()  # max-of-two-uniforms stochastically larger
+
+
+def test_donut_seed_determinism(points):
+    """reference tests/masks/test_donut.py:34-38"""
+    a = analysis.checksum(donut(points, 50.0, 500.0, seed=77))
+    b = analysis.checksum(donut(points, 50.0, 500.0, seed=77))
+    c = analysis.checksum(donut(points, 50.0, 500.0, seed=78))
+    assert a == b and a != c
+
+
+def test_donut_input_immutable(points):
+    before = analysis.checksum(points)
+    donut(points, 50.0, 500.0, seed=5).count()
+    assert analysis.checksum(points) == before
+
+
+def test_donut_validation(points):
+    with pytest.raises(ValueError):
+        donut(points, 500.0, 50.0, seed=1)
+
+
+def test_donut_containment(spark, points):
+    """reference tests/masks/test_donut.py:41-47: masked points stay in
+    their original container polygon."""
+    rect = 2000.0
+    rows = []
+    for ix in range(10):
+        for iy in range(5):
+            x0, y0 = ix * rect, iy * rect
+            ring = [
+                {"x": x0, "y": y0}, {"x": x0 + rect, "y": y0},
+                {"x": x0 + rect, "y": y0 + rect}, {"x": x0, "y": y0 + rect},
+            ]
+            rows.append((ix * 10 + iy, ring))
+    cont = spark.createDataFrame(rows, "poly_id long, ring array<struct<x:double,y:double>>")
+    m = donut(points, 50.0, 800.0, seed=31, container=cont, max_attempts=100)
+    pdf = m.join(points.select("pid", F.col("x").alias("ox"), F.col("y").alias("oy")), "pid").toPandas()
+    assert len(pdf) == points.count()
+    home = (pdf["ox"] // rect).astype(int) * 10 + (pdf["oy"] // rect).astype(int)
+    landed = (pdf["x"] // rect).astype(int) * 10 + (pdf["y"] // rect).astype(int)
+    assert (home == landed).all()
+    d = np.hypot(pdf["x"] - pdf["ox"], pdf["y"] - pdf["oy"])
+    assert d.min() >= 50.0 and d.max() <= 800.0
+
+
+def test_locationswap_annulus(points, addresses):
+    """reference tests/masks/test_locationswap.py:8-36"""
+    m = locationswap(points, 100.0, 600.0, addresses, seed=11)
+    pdf = analysis.displacement(points, m).toPandas()
+    swapped = pdf[pdf["UNMASKED"] == 0]
+    unmasked = pdf[pdf["UNMASKED"] == 1]
+    assert len(swapped) > 0
+    assert (swapped["_distance"] > 100.0).all()
+    assert (swapped["_distance"] <= 600.0).all()
+    assert (unmasked["_distance"] == 0.0).all()
+    # swap targets are actual address points
+    addr = {(round(r["ax"], 9), round(r["ay"], 9)) for r in addresses.collect()}
+    got = {(round(r["x"], 9), round(r["y"], 9)) for _, r in swapped.iterrows()}
+    assert got <= addr
+    # determinism
+    assert analysis.checksum(locationswap(points, 100.0, 600.0, addresses, seed=11)) == analysis.checksum(m)
+    assert analysis.checksum(locationswap(points, 100.0, 600.0, addresses, seed=12)) != analysis.checksum(m)
+
+
+def test_voronoi_midpoint_and_determinism(points):
+    """Voronoi = bisector midpoint of nearest neighbor (SURVEY M5); fully
+    deterministic without a seed (reference tests/test_atlas.py:206-210)."""
+    m = voronoi(points)
+    assert analysis.checksum(m) == analysis.checksum(voronoi(points))
+    pdf = points.toPandas().set_index("pid")
+    mm = m.toPandas().set_index("pid")
+    xs = pdf["x"].to_numpy()
+    ys = pdf["y"].to_numpy()
+    ids = pdf.index.to_numpy()
+    for pid in ids[:25]:
+        px, py = pdf.at[pid, "x"], pdf.at[pid, "y"]
+        d = np.hypot(xs - px, ys - py)
+        d[ids == pid] = np.inf
+        q = d.argmin()
+        assert mm.at[pid, "x"] == pytest.approx((px + xs[q]) / 2, abs=1e-9)
+        assert mm.at[pid, "y"] == pytest.approx((py + ys[q]) / 2, abs=1e-9)
+
+
+def test_street_masks_to_nodes(points, roads, addresses):
+    """Engine contract for M3 (reference masks/street.py semantics with the
+    documented order-free substitution): output coincides with road nodes,
+    displacement grows with the node-count range, seeded determinism."""
+    nodes, edges = roads
+    m1 = street(points, 5, 10, nodes, edges, max_length=400.0, seed=3)
+    out = m1.toPandas()
+    assert len(out) == points.count()
+    node_set = {(round(r["nx"], 9), round(r["ny"], 9)) for r in nodes.collect()}
+    got = {(round(v["x"], 9), round(v["y"], 9)) for _, v in out.iterrows()}
+    assert got <= node_set
+    # larger target counts => farther displacement on average
+    d1 = _disp(points, m1)
+    d2 = _disp(points, street(points, 40, 50, nodes, edges, max_length=400.0, seed=3))
+    assert d2.mean() > d1.mean()
+    # determinism
+    assert analysis.checksum(street(points, 5, 10, nodes, edges, max_length=400.0, seed=3)) == analysis.checksum(m1)
