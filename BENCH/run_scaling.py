@@ -1,0 +1,157 @@
+"""Two-cluster-size scaling evidence for the north rule.
+
+No multi-node cluster exists in this sandbox, so (per driver instruction)
+the N -> 4N executor criterion is evidenced by running the SAME jobs on the
+SAME input at local[8] and local[32] and reporting throughput at both plus
+scaling efficiency:
+
+    efficiency(J) = (throughput@32 / throughput@8) / 4      (target >= 0.8)
+
+Each parallelism level runs in its OWN subprocess (a JVM can host only one
+local[N] master), 1 warmup + 3 timed runs, median. The determinism
+cross-check asserts the replay contract across cluster sizes: output
+checksums at local[8] and local[32] must be identical (reference
+atlas.py:229-233; our partitioning-independent RNG makes this hold).
+
+Usage:  python BENCH/run_scaling.py [n_rows]   (default 2,000,000)
+Writes: BENCH/BASELINE.md + BENCH/scaling.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from maskmypy_spark.session import get_spark
+from maskmypy_spark import analysis
+from maskmypy_spark.operators.donut import donut
+from maskmypy_spark.operators.locationswap import locationswap
+from maskmypy_spark.functions import rng as _rng
+from maskmypy_spark.sources import tables as _t
+
+cores = int(sys.argv[1]); n = int(sys.argv[2])
+spark = get_spark(app=f"scaling-{cores}", cores=cores)
+spark.sparkContext.setLogLevel("ERROR")
+
+# Synthetic point tables generated JVM-side at any scale (no driver memory):
+# same derivation as sources/tables.py but over spark.range.
+def pts_df(n, tag_salt=0):
+    df = spark.range(1, n + 1, 1, max(cores * 4, 8)).withColumnRenamed("id", "pid")
+    x = f"({_rng.u_sql('pid', 101 + tag_salt, 1234)}) * 2.0e4"
+    y = f"({_rng.u_sql('pid', 102 + tag_salt, 1234)}) * 1.0e4"
+    return df.select("pid", F.expr(x).alias("x"), F.expr(y).alias("y"))
+
+pts = pts_df(n).cache(); pts.count()
+addr = (pts_df(max(n // 4, 1), tag_salt=50)
+        .withColumnsRenamed({"pid": "aid", "x": "ax", "y": "ay"})).cache(); addr.count()
+
+def run_timed(fn, runs=3, warmup=1):
+    for _ in range(warmup): fn()
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter(); fn(); ts.append(time.perf_counter() - t0)
+    ts.sort(); return ts[len(ts) // 2]
+
+def force(df):
+    df.select(F.count(F.lit(1))).collect()
+
+jobs = {}
+jobs["donut_mask"] = lambda: force(donut(pts, 100.0, 500.0, seed=42))
+jobs["k_verify"] = lambda: force(
+    analysis.k_anonymity_address(pts, donut(pts, 100.0, 500.0, seed=42), addr, max_radius=500.0)
+)
+jobs["locationswap"] = lambda: force(locationswap(pts, 100.0, 500.0, addr, seed=42))
+
+out = {"cores": cores, "rows": n, "timings": {}}
+for name, fn in jobs.items():
+    out["timings"][name] = run_timed(fn)
+
+# determinism checksum of the masked output (cross-parallelism contract)
+m = donut(pts, 100.0, 500.0, seed=42)
+out["mask_checksum"] = analysis.checksum(m)
+print("RESULT " + json.dumps(out))
+"""
+
+
+def run_level(cores: int, n: int) -> dict:
+    code = WORKER % {"repo": REPO}
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, "-c", code, str(cores), str(n)],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker failed (cores={cores}):\n{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    res8 = run_level(8, n)
+    res32 = run_level(32, n)
+
+    rows = []
+    effs = {}
+    for job in res8["timings"]:
+        t8, t32 = res8["timings"][job], res32["timings"][job]
+        th8, th32 = n / t8, n / t32
+        eff = (th32 / th8) / 4.0
+        effs[job] = eff
+        rows.append((job, t8, th8, t32, th32, eff))
+
+    det_ok = res8["mask_checksum"] == res32["mask_checksum"]
+    out = {
+        "rows": n,
+        "local8": res8,
+        "local32": res32,
+        "efficiency": effs,
+        "determinism_checksums_match": det_ok,
+    }
+    with open(os.path.join(HERE, "scaling.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+    md = [
+        "# BENCH/BASELINE — throughput + two-cluster-size scaling evidence",
+        "",
+        f"Input: {n:,} synthetic points (hash-derived, seed 1234), addresses = n/4.",
+        "Protocol: per level, 1 warmup + 3 timed runs, median. Levels run in",
+        "separate subprocesses (one JVM = one local[N] master). This evidences",
+        "the north rule's N->4N criterion as local[8] vs local[32] per the",
+        "driver instruction (no multi-node cluster in this sandbox).",
+        "",
+        "| job | local[8] sec | local[8] rows/s | local[32] sec | local[32] rows/s | efficiency |",
+        "|---|---|---|---|---|---|",
+    ]
+    for job, t8, th8, t32, th32, eff in rows:
+        md.append(
+            f"| {job} | {t8:.3f} | {th8:,.0f} | {t32:.3f} | {th32:,.0f} | **{eff:.2f}** |"
+        )
+    md += [
+        "",
+        f"Determinism cross-check (replay contract across cluster sizes): "
+        f"masked-output checksums at local[8] and local[32] are "
+        f"{'IDENTICAL' if det_ok else 'DIFFERENT (FAIL)'} "
+        f"(`{res8['mask_checksum']}`).",
+        "",
+        "Cluster deploy: `spark-submit --py-files maskmypy_spark.zip` — the",
+        "engine is pure PySpark DataFrame code; no native deps beyond numpy",
+        "on executors (Arrow UDF paths) and has no driver-side data paths at",
+        "scale (fixtures generate distributed; masks/joins are shuffles).",
+    ]
+    with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(json.dumps({"efficiency": effs, "determinism": det_ok}))
+
+
+if __name__ == "__main__":
+    main()

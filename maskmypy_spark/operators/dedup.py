@@ -35,15 +35,13 @@ def doc_quality(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
     """Heuristic quality scores: alphabetic ratio, stopword ratio, mean
     token length — the standard cheap pre-filters of web-scale corpora."""
     toks = tokens_col(text)
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return df.select(
         key,
         F.round(
             F.length(F.regexp_replace(text, "[^a-zA-Z]", "")) / F.length(text), 6
         ).alias("alpha_ratio"),
         F.round(
-            F.size(F.expr(f"filter(split(trim({text}), '{TOKENIZE}'), t -> t IN ({stop_list}))"))
-            / F.size(toks),
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks),
             6,
         ).alias("stopword_ratio"),
         F.round(

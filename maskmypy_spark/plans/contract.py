@@ -343,6 +343,121 @@ def _q_pip_count():
     return q, sql
 
 
+# ------------------------------------- training-data pipeline (docs/emb) ---
+
+def _q_doc_tokens():
+    from ..operators import dedup
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.doc_tokens(tables.load(spark, sf, "documents"))
+
+    sql = (
+        "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens, "
+        "CAST(length(text) AS INT) AS n_chars FROM documents"
+    )
+    return q, sql
+
+
+def _q_doc_quality():
+    from ..operators import dedup
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.doc_quality(tables.load(spark, sf, "documents"))
+
+    stop_list = ", ".join(f"'{w}'" for w in dedup.STOPWORDS)
+    sql = (
+        "SELECT doc_id, "
+        "round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 6) AS alpha_ratio, "
+        f"round(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ({stop_list}))) "
+        "/ len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio, "
+        "round(length(regexp_replace(text, '\\s+', '', 'g')) "
+        "/ len(string_split_regex(trim(text), '\\s+')), 6) AS mean_token_len "
+        "FROM documents"
+    )
+    return q, sql
+
+
+def _q_dedup_exact():
+    from ..operators import dedup
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.dedup_exact(tables.load(spark, sf, "documents"))
+
+    sql = (
+        "SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+        "count(*) AS n_dups FROM documents GROUP BY 1"
+    )
+    return q, sql
+
+
+JACCARD_T = 0.8
+
+
+def _q_ngram_jaccard():
+    from ..operators import dedup
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.ngram_jaccard_pairs(
+            tables.load(spark, sf, "documents"), threshold=JACCARD_T
+        )
+
+    sql = (
+        "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+        "FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i) WHERE len(t) >= 3), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT d1, d2, round(c / (na.n + nb.n - c), 6) AS jaccard "
+        "FROM common JOIN sizes na ON na.doc_id = d1 JOIN sizes nb ON nb.doc_id = d2 "
+        f"WHERE round(c / (na.n + nb.n - c), 6) >= {flit(JACCARD_T)}"
+    )
+    return q, sql
+
+
+def _q_cosine_nn():
+    from ..operators import dedup
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.cosine_nn(tables.load(spark, sf, "embeddings")).select(
+            "vec_id", "nn_id", "cos"
+        )
+
+    sql = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos "
+        "FROM e a JOIN e b ON a.vec_id <> b.vec_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM p) "
+        "SELECT id_a AS vec_id, id_b AS nn_id, cos FROM r WHERE rn = 1"
+    )
+    return q, sql
+
+
+def _q_minhash_lsh():
+    """MinHash-LSH near-dups: engine sketch op; verified rows-only by the
+    driver (sketches are engine-hash-specific), exactly vs ngram_jaccard in
+    tests/test_dedup.py."""
+    from ..operators import dedup
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.minhash_lsh_pairs(
+            tables.load(spark, sf, "documents"), threshold=JACCARD_T
+        )
+
+    return q, None
+
+
+def _q_simhash():
+    from ..operators import dedup
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.simhash64(tables.load(spark, sf, "documents"))
+
+    return q, None
+
+
 # ------------------------------------------------------------- registry ---
 
 def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -362,4 +477,11 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["central_drift"] = _q_central_drift()
     reg["nnd_delta"] = _q_nnd_delta()
     reg["pip_count"] = _q_pip_count()
+    reg["doc_token_count"] = _q_doc_tokens()
+    reg["doc_quality"] = _q_doc_quality()
+    reg["dedup_exact"] = _q_dedup_exact()
+    reg["dedup_ngram_jaccard"] = _q_ngram_jaccard()
+    reg["embed_cosine_nn"] = _q_cosine_nn()
+    reg["dedup_minhash_lsh"] = _q_minhash_lsh()
+    reg["doc_simhash"] = _q_simhash()
     return reg

@@ -1,0 +1,111 @@
+"""Lineage layer: Atlas candidates + replay checksum contract, manifest
+write/resume, street_k iteration checkpointing.
+Reference idioms: /root/reference/tests/test_atlas.py (SURVEY §5.7).
+"""
+
+import json
+import os
+
+import pytest
+
+from maskmypy_spark import analysis
+from maskmypy_spark.operators.donut import donut
+from maskmypy_spark.operators.locationswap import locationswap
+from maskmypy_spark.plans.atlas import Atlas
+from maskmypy_spark.plans.manifest import IterationLog, run_mask
+from maskmypy_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(fixtures.sensitive_points_pdf(200, seed=42)).cache()
+
+
+@pytest.fixture(scope="module")
+def addresses(spark):
+    return spark.createDataFrame(fixtures.addresses_pdf(2000, seed=43)).cache()
+
+
+def test_atlas_mask_records_candidate_and_stats(points, addresses):
+    atlas = Atlas(points, population=addresses)
+    masked = atlas.mask(donut, low=50.0, high=300.0, seed=99)
+    assert masked.count() == 200
+    c = atlas.candidates[0]
+    assert c["mask"] == "donut"
+    assert c["kwargs"]["seed"] == 99
+    assert 50.0 <= c["stats"]["displacement_min"]
+    assert c["stats"]["displacement_max"] <= 300.0
+    assert "k_mean" in c["stats"] and c["stats"]["k_min"] >= 1
+    assert c["stats"]["execution_time"] > 0
+
+
+def test_atlas_replay_checksum_contract(points):
+    """reference atlas.py:229-233: regenerated checksum must equal the
+    recorded one; a different-seed run must not."""
+    atlas = Atlas(points)
+    atlas.mask(donut, low=50.0, high=300.0, seed=5, evaluate=False)
+    replayed = atlas.gen_df(0)
+    assert analysis.checksum(replayed) == atlas.candidates[0]["checksum"]
+    atlas.candidates[0]["kwargs"]["seed"] = 6
+    with pytest.raises(ValueError, match="does not match"):
+        atlas.gen_df(0)
+
+
+def test_atlas_layer_hydration(points, addresses):
+    atlas = Atlas(points)
+    masked = atlas.mask(locationswap, low=50.0, high=500.0, address=addresses, seed=4, evaluate=False)
+    assert masked.count() == 200
+    kw = atlas.candidates[0]["kwargs"]
+    assert kw["address"].startswith("context_")
+    # replay re-hydrates the address layer from the store
+    assert analysis.checksum(atlas.gen_df(0)) == atlas.candidates[0]["checksum"]
+    # missing layer -> KeyError (reference tests/test_atlas.py:81-96)
+    bad = Atlas(points)
+    bad.candidates = json.loads(json.dumps(atlas.candidates))
+    bad._mask_registry = {"locationswap": locationswap}
+    with pytest.raises(KeyError):
+        bad.gen_df(0)
+
+
+def test_atlas_json_roundtrip_and_sort(points, addresses, tmp_path):
+    atlas = Atlas(points, population=addresses)
+    atlas.mask(donut, low=50.0, high=200.0, seed=1)
+    atlas.mask(donut, low=200.0, high=800.0, seed=2)
+    path = str(tmp_path / "atlas.json")
+    atlas.to_json(path)
+    re = Atlas.from_json(path, points, population=addresses)
+    assert [c["checksum"] for c in re.candidates] == [c["checksum"] for c in atlas.candidates]
+    re.sort(by="displacement_mean", desc=True)
+    assert re.candidates[0]["stats"]["displacement_mean"] >= re.candidates[1]["stats"]["displacement_mean"]
+    re.prune(by="displacement_mean", min=0, max=250)
+    assert len(re.candidates) == 1
+
+
+def test_run_mask_manifest_and_resume(spark, points, tmp_path):
+    out = str(tmp_path / "run1")
+
+    def mask_fn(df, **kw):
+        return donut(df, 50.0, 300.0, seed=11)
+
+    mask_fn.__name__ = "donut_50_300"
+    m1, man1 = run_mask(spark, points, mask_fn, out)
+    assert man1["status"] == "complete" and not man1["resumed"]
+    assert man1["rows"] == 200
+    assert len(man1["partitions"]) > 1  # cell-partitioned output
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+    # resume: second invocation must NOT recompute (checksum verifies)
+    m2, man2 = run_mask(spark, points, mask_fn, out)
+    assert man2["resumed"]
+    assert analysis.checksum(m2.drop("_pcell")) == man1["output_checksum"]
+
+
+def test_iteration_log_checkpoints(tmp_path):
+    path = str(tmp_path / "iters.json")
+    log = IterationLog(path)
+    log({"low": 10, "k_satisfaction": 0.5})
+    log({"low": 12, "k_satisfaction": 0.95})
+    log2 = IterationLog(path)
+    assert log2.completed() == [
+        {"low": 10, "k_satisfaction": 0.5},
+        {"low": 12, "k_satisfaction": 0.95},
+    ]

@@ -1,0 +1,102 @@
+"""Dedup / similarity operators: MinHash-LSH + SimHash validated against
+exact n-gram Jaccard on a corpus with planted near-duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from maskmypy_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rs = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(120):
+        n = rs.randint(30, 80)
+        rows.append((i, " ".join(rs.choice(vocab, n))))
+    # planted near-duplicates: copy with small perturbations
+    base = dict(rows)
+    for j, src in enumerate([3, 17, 42, 99]):
+        words = base[src].split()
+        k = rs.randint(0, len(words))
+        words[k] = "zz"
+        rows.append((1000 + j, " ".join(words)))
+    # one exact duplicate
+    rows.append((2000, base[7]))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).cache()
+
+
+def test_dedup_exact_finds_planted_duplicate(docs):
+    groups = dedup.dedup_exact(docs).where("n_dups > 1").collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 7
+    assert groups[0]["n_dups"] == 2
+
+
+def test_exact_jaccard_finds_planted_neardups(docs):
+    pairs = {(r["d1"], r["d2"]) for r in dedup.ngram_jaccard_pairs(docs, 0.7).collect()}
+    for j, src in enumerate([3, 17, 42, 99]):
+        assert (src, 1000 + j) in pairs
+    assert (7, 2000) in pairs  # exact dup has jaccard 1.0
+
+
+def test_minhash_lsh_matches_exact_on_high_threshold(docs):
+    """LSH candidates + exact verification: at tau=0.7 with 32 hashes / 8
+    bands the band curve gives ~1.0 recall for j>=0.85 pairs; all planted
+    pairs are >=0.9, so LSH must find exactly the exact-join result."""
+    exact = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, 0.7).collect()
+    }
+    lsh = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs, 0.7).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_hamming_close_for_neardups(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(sh[7], sh[2000]) == 0  # exact dup
+    planted = [ham(sh[s], sh[1000 + j]) for j, s in enumerate([3, 17, 42, 99])]
+    assert max(planted) <= 8
+    rs = np.random.RandomState(0)
+    ids = [i for i in sh if i < 1000]
+    rand = [ham(sh[a], sh[b]) for a, b in zip(rs.choice(ids, 30), rs.choice(ids, 30)) if a != b]
+    assert np.mean(rand) > 12  # unrelated docs are far
+
+
+def test_cosine_nn_exact_vs_numpy(spark):
+    rs = np.random.RandomState(6)
+    vecs = rs.standard_normal((80, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(80), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    got = {r["vec_id"]: r["nn_id"] for r in dedup.cosine_nn(emb).collect()}
+    v = vecs.astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = v @ v.T
+    np.fill_diagonal(sims, -np.inf)
+    for i in range(80):
+        assert got[i] == int(sims[i].argmax())
+
+
+def test_cosine_nn_lsh_recall(spark):
+    """Hyperplane LSH recalls CLOSE neighbors (its contract): clustered
+    embeddings where each vector's true NN is in its own tight cluster."""
+    rs = np.random.RandomState(8)
+    centers = rs.standard_normal((20, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    idx = rs.randint(0, 20, 200)
+    vecs = (centers[idx] + 0.1 * rs.standard_normal((200, 16))).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf).cache()
+    exact = {r["vec_id"]: r["nn_id"] for r in dedup.cosine_nn(emb).collect()}
+    approx = {r["vec_id"]: r["nn_id"] for r in dedup.cosine_nn_lsh(emb, planes=8, tables=6).collect()}
+    hits = sum(1 for k in exact if approx.get(k) == exact[k])
+    assert hits / len(exact) >= 0.8  # high recall on genuinely-near pairs
