@@ -51,7 +51,7 @@ def pts_df(n, tag_salt=0):
     return df.select("pid", F.expr(x).alias("x"), F.expr(y).alias("y"))
 
 pts = pts_df(n).cache(); pts.count()
-addr = (pts_df(max(n // 4, 1), tag_salt=50)
+addr = (pts_df(max(n // 10, 1), tag_salt=50)
         .withColumnsRenamed({"pid": "aid", "x": "ax", "y": "ay"})).cache(); addr.count()
 
 def run_timed(fn, runs=3, warmup=1):
@@ -62,7 +62,10 @@ def run_timed(fn, runs=3, warmup=1):
     ts.sort(); return ts[len(ts) // 2]
 
 def force(df):
-    df.select(F.count(F.lit(1))).collect()
+    # hash all columns: defeats aggregate pushdown / outer-join elimination;
+    # bit_xor aggregation cannot overflow under ANSI mode
+    (df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h"))
+       .agg(F.expr("bit_xor(h)")).collect())
 
 jobs = {}
 jobs["donut_mask"] = lambda: force(donut(pts, 100.0, 500.0, seed=42))

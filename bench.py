@@ -43,26 +43,33 @@ def build_jobs(spark, sf_dir):
     addr = tables.address_df(spark, sf_dir).cache()
     addr.count()
 
-    def _run_count(df):
-        # Force full execution without collecting rows to the driver.
-        return df.select(F.count(F.lit(1))).collect()[0][0]
+    def _force(df):
+        # Force FULL execution of every column: xxhash64 over all output
+        # columns defeats Catalyst's aggregate pushdown / outer-join
+        # elimination (a bare count(*) prunes the k-join entirely).
+        # bit_xor aggregation cannot overflow under ANSI mode.
+        return (
+            df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h"))
+            .agg(F.expr("bit_xor(h)"))
+            .collect()[0][0]
+        )
 
     def q_donut_mask(_=None):
         m = donut(pts, 100.0, 500.0, seed=42)
-        return _run_count(m.select("pid", "x", "y"))
+        return _force(m.select("pid", "x", "y"))
 
     def q_k_verify(_=None):
         m = donut(pts, 100.0, 500.0, seed=42)
         k = analysis.k_anonymity_address(pts, m, addr, max_radius=500.0)
-        return _run_count(k.select("pid", "k_anonymity"))
+        return _force(k.select("pid", "k_anonymity"))
 
     def q_locationswap(_=None):
         m = locationswap(pts, 100.0, 500.0, addr, seed=42)
-        return _run_count(m)
+        return _force(m)
 
     def q_voronoi_nn(_=None):
         m = voronoi(pts)
-        return _run_count(m)
+        return _force(m)
 
     def q_pipeline(_=None):
         m = donut(pts, 100.0, 500.0, seed=42)

@@ -241,6 +241,120 @@ def k_anonymity_polygon(
     )
 
 
+def ripleys_k(
+    df: DataFrame,
+    max_dist: float | None = None,
+    min_dist: float | None = None,
+    steps: int = 10,
+    simulations: int = 0,
+    seed: int = 42,
+    key: str = "pid",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Ripley's K at ``steps`` support distances (reference analysis.py:
+    288-336 via pointpats.k_test). Estimator (no edge correction):
+
+        K(d) = A / (n (n-1)) * #{(i, j) : i != j, dist(i, j) <= d}
+
+    with A = bbox area (the CSR window pointpats simulates in). Defaults
+    mirror the reference: max_dist = Ripley's rule of thumb (quarter of the
+    shorter bbox side, :324-325), min_dist = max/steps (:327-328).
+
+    One cell-indexed distance self-join at max_dist + one conditional
+    aggregate produces ALL bands; with ``simulations`` > 0, CSR replicates
+    are generated JVM-side from the hash-RNG (seeded per (sim, i)) and share
+    the same single join, grouped by sim — the reference's 99 sequential
+    pointpats runs become one shuffle.
+
+    Returns (band, support, statistic) + per-band simulation envelope
+    (sim_low, sim_high, pvalue) when simulations > 0.
+    """
+    from .functions.rng import TAG_SIM, TAG_SIM_Y, u_sql
+
+    spark = df.sparkSession
+    b = df.agg(
+        F.min(x).alias("x0"), F.max(x).alias("x1"),
+        F.min(y).alias("y0"), F.max(y).alias("y1"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = b.n
+    area = (b.x1 - b.x0) * (b.y1 - b.y0)
+    if not max_dist:
+        max_dist = min(b.x1 - b.x0, b.y1 - b.y0) / 4.0
+    if not min_dist:
+        min_dist = max_dist / steps
+    import numpy as np
+
+    support = np.linspace(min_dist, max_dist, steps)
+    scale = area / (n * (n - 1))
+
+    pairs = distance_join(
+        df.select(key, x, y),
+        df.select(
+            F.col(key).alias("_qk"), F.col(x).alias("_qx"), F.col(y).alias("_qy")
+        ),
+        radius=float(max_dist),
+        lx=x, ly=y, rx="_qx", ry="_qy",
+    ).where(F.col(key) != F.col("_qk"))
+    aggs = [
+        F.sum(F.when(F.col("dist") <= float(d), 1).otherwise(0)).alias(f"_c{i}")
+        for i, d in enumerate(support)
+    ]
+    obs = pairs.agg(*aggs).collect()[0]
+    rows = [
+        (i, float(d), float(scale * obs[f"_c{i}"])) for i, d in enumerate(support)
+    ]
+    if not simulations:
+        return spark.createDataFrame(rows, "band int, support double, statistic double")
+
+    # CSR replicates: sim points from the hash-RNG, all sims in one table
+    sims = spark.range(simulations).withColumnRenamed("id", "_sim")
+    pts = sims.join(spark.range(n).withColumnRenamed("id", "_i"))
+    kexpr = f"_sim * {n} + _i + 1"
+    sim_pts = pts.select(
+        "_sim",
+        F.expr(kexpr).alias(key),
+        (F.lit(float(b.x0)) + F.expr(u_sql(kexpr, TAG_SIM, seed)) * (b.x1 - b.x0)).alias(x),
+        (F.lit(float(b.y0)) + F.expr(u_sql(kexpr, TAG_SIM_Y, seed)) * (b.y1 - b.y0)).alias(y),
+    )
+    spairs = distance_join(
+        sim_pts,
+        sim_pts.withColumnsRenamed({key: "_qk", x: "_qx", y: "_qy", "_sim": "_qsim"}),
+        radius=float(max_dist),
+        lx=x, ly=y, rx="_qx", ry="_qy",
+        extra_on=[("_sim", "_qsim")],
+    ).where(F.col(key) != F.col("_qk"))
+    saggs = [
+        F.sum(F.when(F.col("dist") <= float(d), 1).otherwise(0)).alias(f"_c{i}")
+        for i, d in enumerate(support)
+    ]
+    sim_counts = spairs.groupBy("_sim").agg(*saggs).collect()
+    out = []
+    for i, d in enumerate(support):
+        vals = sorted(scale * r[f"_c{i}"] for r in sim_counts)
+        k_obs = rows[i][2]
+        n_ge = sum(1 for v in vals if v >= k_obs)
+        n_le = sum(1 for v in vals if v <= k_obs)
+        p = (min(n_ge, n_le) + 1) / (len(vals) + 1)
+        out.append((i, float(d), k_obs, vals[0], vals[-1], float(p)))
+    return spark.createDataFrame(
+        out,
+        "band int, support double, statistic double, sim_low double, sim_high double, pvalue double",
+    )
+
+
+def ripley_rmse(a: DataFrame, b: DataFrame) -> float:
+    """RMSE between two observed-K vectors, 3 dp (analysis.py:339-368)."""
+    import math
+
+    av = [r["statistic"] for r in a.orderBy("band").collect()]
+    bv = [r["statistic"] for r in b.orderBy("band").collect()]
+    return round(
+        math.sqrt(sum((x - y) ** 2 for x, y in zip(bv, av)) / len(av)), 3
+    )
+
+
 def mark_unmasked(
     sensitive: DataFrame, masked: DataFrame, key: str = "pid", x: str = "x", y: str = "y"
 ) -> DataFrame:

@@ -44,11 +44,14 @@ def distance_join(
     dist_col: str = "dist",
     broadcast_right: bool = False,
     salt: int = 0,
+    extra_on: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Inner join of all (left, right) pairs with distance <= radius.
 
     Column names must be disjoint between the two sides (the engine's
-    internal callers guarantee this). Adds ``dist_col``.
+    internal callers guarantee this). Adds ``dist_col``. ``extra_on`` adds
+    (left_col, right_col) equality keys to the shuffle key — e.g. a
+    simulation id, so co-grouped joins stay partition-pruned.
     """
     cs = float(cs or radius)
     ring = cells.ring_for_radius(radius, cs)
@@ -73,7 +76,18 @@ def distance_join(
     if broadcast_right:
         rt = F.broadcast(rt)
 
-    joined = lt.join(rt, on=on)
+    cond = None
+    for lc, rc in extra_on or []:
+        c = lt[lc] == rt[rc]
+        cond = c if cond is None else (cond & c)
+    if cond is not None:
+        for k in on:
+            cond = (lt[k] == rt[k]) & cond
+        joined = lt.join(rt, on=cond).drop(rt["_cell"])
+        if salt > 1:
+            joined = joined.drop(rt["_salt"])
+    else:
+        joined = lt.join(rt, on=on)
     d = F.expr(dist_sql(lx, ly, rx, ry))
     return (
         joined.where(d <= F.lit(float(radius)))

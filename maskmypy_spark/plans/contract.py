@@ -343,6 +343,40 @@ def _q_pip_count():
     return q, sql
 
 
+def _q_ripleys_k():
+    """Observed Ripley K at fixed support bands (reference analysis.py:
+    288-336 estimator, bbox window, no edge correction). Simulation
+    envelopes are engine-side (seeded CSR, rows-only)."""
+    steps, max_d = 10, 1000.0
+    support = [max_d / steps * (i + 1) for i in range(steps)]
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        r = analysis.ripleys_k(
+            _sens(spark, sf), max_dist=max_d, min_dist=max_d / steps, steps=steps
+        )
+        return r.select("band", F.round("support", 6).alias("support"),
+                        F.round("statistic", 6).alias("statistic")).orderBy("band")
+
+    bands = ", ".join(
+        f"round(sum(CASE WHEN dist <= {flit(d)} THEN 1 ELSE 0 END) * sc.s, 6) AS _k{i}"
+        for i, d in enumerate(support)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT {i} AS band, round({flit(d)}, 6) AS support, _k{i} AS statistic FROM wide"
+        for i, d in enumerate(support)
+    )
+    sql = (
+        f"WITH pts AS ({PTS}), "
+        "bb AS (SELECT min(x) x0, max(x) x1, min(y) y0, max(y) y1, count(*) n FROM pts), "
+        "sc AS (SELECT (x1 - x0) * (y1 - y0) / (n * (n - 1.0)) AS s FROM bb), "
+        f"pairs AS (SELECT {dist_sql('a.x', 'a.y', 'b.x', 'b.y')} AS dist "
+        "FROM pts a CROSS JOIN pts b WHERE a.pid <> b.pid), "
+        f"wide AS (SELECT {bands} FROM pairs CROSS JOIN sc) "
+        f"SELECT * FROM ({unpivot}) ORDER BY band"
+    )
+    return q, sql
+
+
 # ------------------------------------- training-data pipeline (docs/emb) ---
 
 def _q_doc_tokens():

@@ -1,0 +1,157 @@
+"""Exact-value analytics oracles transcribed from the reference's golden
+tests (/root/reference/tests/test_analysis.py) with one documented
+divergence: the engine's k-disk is the exact CLOSED disk (dist <= r),
+whereas the reference buffers points into 32-gon polygon approximations
+whose boundary behavior is a numerical artifact (a point exactly at
+distance r is included on the +x side of the buffer and excluded on the -x
+side). Golden expectations below are the closed-disk values; boundary-free
+cases match the reference exactly.
+"""
+
+import math
+
+import pandas as pd
+import pytest
+
+from maskmypy_spark import analysis
+
+
+def _pts(spark, coords):
+    return spark.createDataFrame(
+        pd.DataFrame([(i, float(x), float(y)) for i, (x, y) in enumerate(coords)],
+                     columns=["pid", "x", "y"])
+    )
+
+
+def _addr(spark, coords):
+    return spark.createDataFrame(
+        pd.DataFrame([(i, float(x), float(y)) for i, (x, y) in enumerate(coords)],
+                     columns=["aid", "ax", "ay"])
+    )
+
+
+ADDRS = [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (7, 0)]
+
+
+@pytest.mark.parametrize(
+    "sens,masked,k_expected",
+    [
+        # reference test_analysis.py:38-82; closed-disk counts:
+        ((0, 0), (1, 0), 4),   # r=1 around (1,0): {0,1,2} -> 3+1 (ref: 3, buffer artifact)
+        ((0, 0), (2, 0), 6),   # r=2 around (2,0): {0..4} -> 5+1 (ref: 5)
+        ((0, 0), (3, 0), 7),   # r=3 around (3,0): {0..5} -> 6+1 (ref: 6, buffer artifact)
+        ((0, 0), (-1, 0), 2),  # r=1 around (-1,0): {0} -> 1+1 (ref: 2, matches)
+        ((-7, 0), (0, 0), 8),  # r=7 around (0,0): {0..5,7} -> 7+1... see below
+    ],
+)
+def test_address_k_goldens(spark, sens, masked, k_expected):
+    s = _pts(spark, [sens])
+    m = _pts(spark, [masked])
+    a = _addr(spark, ADDRS)
+    k = analysis.k_anonymity_address(s, m, a).collect()[0]["k_anonymity"]
+    # closed-disk ground truth computed independently here:
+    r = math.dist(sens, masked)
+    want = 1 + sum(1 for ax, ay in ADDRS if math.dist((ax, ay), masked) <= r)
+    assert want == k_expected  # sanity of the hand-computed table
+    assert k == k_expected
+
+
+def test_polygon_k_goldens(spark):
+    """reference test_analysis.py:84-126 with EXACT circle areas (the
+    reference's expected values use shapely's 32-gon buffer area; ours is
+    the true circle, so the quarter-coverage cases use pi*r^2/4)."""
+    polys = [
+        (1, 1.0, [(0, 0), (0, 1), (1, 1), (1, 0)]),
+        (10, 10.0, [(0, 0), (1, 0), (1, -1), (-1, 0)]),
+        (100, 100.0, [(0, 0), (0, -1), (-1, -1), (-1, 0)]),
+        (1000, 1000.0, [(0, 0), (-1, 0), (-1, 1), (0, 1)]),
+    ]
+    rows = [
+        (pid, pop, [{"x": float(x), "y": float(y)} for x, y in ring])
+        for pid, pop, ring in polys
+    ]
+    pop_df = spark.createDataFrame(
+        rows, "poly_id long, pop double, ring array<struct<x:double,y:double>>"
+    )
+
+    # circle covers everything -> k = sum(pop) (boundary-free, matches ref)
+    s = _pts(spark, [(3, 0)])
+    m = _pts(spark, [(0, 0)])
+    k = analysis.k_anonymity_polygon(s, m, pop_df).collect()[0]["k_anonymity"]
+    assert k == 1111
+
+    # quarter coverage of the pop-1000 unit square: circle r=1 at (-1,1)
+    # covers its bottom-right quadrant: k = floor(1000 * (pi/4) / 1)
+    s = _pts(spark, [(0, 1)])
+    m = _pts(spark, [(-1, 1)])
+    k = analysis.k_anonymity_polygon(s, m, pop_df).collect()[0]["k_anonymity"]
+    assert k == math.floor(1000 * math.pi / 4)
+
+    # equal partial coverage of all four quadrants from the origin
+    s = _pts(spark, [(1, 0)])
+    m = _pts(spark, [(0, 0)])
+    k = analysis.k_anonymity_polygon(s, m, pop_df).collect()[0]["k_anonymity"]
+    area_q = math.pi / 4  # quarter of the r=1 disk, each fully inside its square
+    assert k == math.floor(1111 * area_q)
+
+
+def test_translation_goldens(spark):
+    """reference test_analysis.py:28-35,129-133,163-169,187-197: a copy
+    translated by (50, 0) has displacement min=max=med=mean=50, drift=50,
+    all NND deltas 0, ripley_rmse 0."""
+    from maskmypy_spark.sources import fixtures
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(150, seed=42)).cache()
+    from pyspark.sql import functions as F
+
+    moved = pts.withColumn("x", F.col("x") + 50.0)
+    d = analysis.summarize_displacement(analysis.displacement(pts, moved)).collect()[0]
+    assert (
+        d["displacement_min"] == d["displacement_max"]
+        == d["displacement_med"] == d["displacement_mean"] == 50.0
+    )
+    drift = analysis.central_drift(pts, moved).collect()[0][0]
+    assert drift == 50.0
+    nd = analysis.nnd_delta(pts, moved).collect()[0]
+    assert nd["nnd_min_delta"] == nd["nnd_max_delta"] == nd["nnd_mean_delta"] == 0.0
+    ra = analysis.ripleys_k(pts, max_dist=1000.0)
+    rb = analysis.ripleys_k(moved, max_dist=1000.0)
+    assert analysis.ripley_rmse(ra, rb) == 0.0
+
+
+def test_ripley_k_properties(spark):
+    """K is nondecreasing in d; CSR simulation envelope brackets a CSR-like
+    uniform pattern; stronger masking moves K further (reference
+    test_analysis.py:149-160 ordering)."""
+    from maskmypy_spark.operators.donut import donut
+    from maskmypy_spark.sources import fixtures
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(250, seed=42)).cache()
+    r = analysis.ripleys_k(pts, max_dist=2000.0, simulations=19).collect()
+    stats = [row["statistic"] for row in sorted(r, key=lambda q: q["band"])]
+    assert all(b >= a for a, b in zip(stats, stats[1:]))
+    # clustered pattern: K above the CSR upper envelope at mid distances
+    mid = sorted(r, key=lambda q: q["band"])[5]
+    assert mid["statistic"] > mid["sim_high"]
+
+    rm_small = analysis.ripleys_k(donut(pts, 1.0, 5.0, seed=1), max_dist=2000.0)
+    rm_big = analysis.ripleys_k(donut(pts, 1000.0, 5000.0, seed=1), max_dist=2000.0)
+    base = analysis.ripleys_k(pts, max_dist=2000.0)
+    assert analysis.ripley_rmse(base, rm_small) < analysis.ripley_rmse(base, rm_big)
+
+
+def test_suppress_and_satisfaction(spark):
+    from maskmypy_spark.operators.suppress import suppress
+
+    df = _pts(spark, [(0, 0), (10, 0), (0, 10), (10, 10)]).withColumn(
+        "k_anonymity", (F := __import__("pyspark.sql.functions", fromlist=["col"])).col("pid") + 1
+    )
+    s = suppress(df, min_k=3).collect()
+    by_id = {r["pid"]: r for r in s}
+    assert by_id[0]["SUPPRESSED"] == "TRUE" and by_id[1]["SUPPRESSED"] == "TRUE"
+    assert by_id[2]["SUPPRESSED"] == "FALSE" and by_id[3]["SUPPRESSED"] == "FALSE"
+    assert by_id[0]["x"] == 5.0 and by_id[0]["y"] == 5.0  # mean center
+    assert by_id[3]["x"] == 10.0
+
+    ks = analysis.k_satisfaction_value(df, 3)
+    assert ks == 0.5
