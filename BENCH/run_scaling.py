@@ -28,8 +28,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 WORKER = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, %(repo)r)
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")  # same heap at both levels
 from pyspark.sql import functions as F
 from maskmypy_spark.session import get_spark
 from maskmypy_spark import analysis

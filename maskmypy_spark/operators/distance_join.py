@@ -45,6 +45,7 @@ def distance_join(
     broadcast_right: bool = False,
     salt: int = 0,
     extra_on: list[tuple[str, str]] | None = None,
+    explode_side: str = "right",
 ) -> DataFrame:
     """Inner join of all (left, right) pairs with distance <= radius.
 
@@ -52,6 +53,12 @@ def distance_join(
     internal callers guarantee this). Adds ``dist_col``. ``extra_on`` adds
     (left_col, right_col) equality keys to the shuffle key — e.g. a
     simulation id, so co-grouped joins stay partition-pruned.
+
+    ``explode_side`` picks which side carries the neighbor-ring expansion
+    (the ring guarantee holds on either side). Explode the SMALLER side:
+    ring² copies of the dimension table shuffle far cheaper than of the
+    fact table. Default 'right' — engine callers pass the big point table
+    on the left and the dimension (addresses/nodes) on the right.
     """
     cs = float(cs or radius)
     ring = cells.ring_for_radius(radius, cs)
@@ -60,10 +67,16 @@ def distance_join(
     lcell = F.expr(cells.cell_sql(lx, ly, cs))
     rcell = F.expr(cells.cell_sql(rx, ry, cs))
 
-    lt = left.withColumn(
-        "_cell", F.explode(F.array(*[lcell + F.lit(o) for o in offs]))
-    )
-    rt = right.withColumn("_cell", rcell)
+    if explode_side == "left":
+        lt = left.withColumn(
+            "_cell", F.explode(F.array(*[lcell + F.lit(o) for o in offs]))
+        )
+        rt = right.withColumn("_cell", rcell)
+    else:
+        lt = left.withColumn("_cell", lcell)
+        rt = right.withColumn(
+            "_cell", F.explode(F.array(*[rcell + F.lit(o) for o in offs]))
+        )
     if salt > 1:
         # Explicit hot-cell salting: scatter the (large) probe side across
         # `salt` sub-keys so one hot cell spreads over `salt` reducers, and
