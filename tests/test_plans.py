@@ -29,7 +29,7 @@ def test_donut_plan_is_jvm_only_and_codegens(spark):
     )
     m = donut(pts, 50.0, 500.0, seed=1)
     plan = _plan(m)
-    assert "WholeStageCodegen" in plan
+    assert "[codegen id :" in plan  # whole-stage codegen active
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
