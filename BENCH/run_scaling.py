@@ -51,8 +51,11 @@ def pts_df(n, tag_salt=0):
     y = f"({_rng.u_sql('pid', 102 + tag_salt, 1234)}) * 1.0e4"
     return df.select("pid", F.expr(x).alias("x"), F.expr(y).alias("y"))
 
+# address density calibrated to realistic k (~40 at the 100-500m donut):
+# denser would turn k-verify into an O(n * k) stress test rather than the
+# production-shaped workload the baseline metric describes.
 pts = pts_df(n).cache(); pts.count()
-addr = (pts_df(max(n // 10, 1), tag_salt=50)
+addr = (pts_df(max(n // 20, 1), tag_salt=50)
         .withColumnsRenamed({"pid": "aid", "x": "ax", "y": "ay"})).cache(); addr.count()
 
 def run_timed(fn, runs=3, warmup=1):

@@ -34,7 +34,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import rng
-from ..functions.rng import flit
 from .knn import nearest_neighbor
 
 

@@ -142,6 +142,29 @@ def test_voronoi_midpoint_and_determinism(points):
         assert mm.at[pid, "y"] == pytest.approx((py + ys[q]) / 2, abs=1e-9)
 
 
+def test_street_k_adaptive_loop(points, roads, addresses):
+    """M4 (reference masks/street.py:82-192): escalating loop reaches a
+    satisfying configuration, logs iterations, suppresses sub-k points."""
+    from maskmypy_spark.operators.street import street_k
+
+    nodes, edges = roads
+    iters = []
+    out = street_k(
+        points, addresses, min_k=3, start=8, stop=60, spread=4,
+        suppression=0.6, max_length=400.0, seed=21,
+        nodes=nodes, edges=edges, on_iteration=iters.append,
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == points.count()
+    assert len(iters) >= 1
+    assert iters[-1]["k_satisfaction"] >= 0.6
+    assert set(pdf["SUPPRESSED"].unique()) <= {"TRUE", "FALSE"}
+    # suppressed points sit at the mean center of the masked pattern
+    sup = pdf[pdf["SUPPRESSED"] == "TRUE"]
+    if len(sup):
+        assert sup["x"].nunique() == 1 and sup["y"].nunique() == 1
+
+
 def test_street_masks_to_nodes(points, roads, addresses):
     """Engine contract for M3 (reference masks/street.py semantics with the
     documented order-free substitution): output coincides with road nodes,
