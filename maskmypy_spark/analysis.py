@@ -129,6 +129,7 @@ def k_anonymity_address(
     ay: str = "ay",
     max_radius: float | None = None,
     salt: int = 0,
+    broadcast_addr: bool = False,
 ) -> DataFrame:
     """Address-based spatial k-anonymity (reference analysis.py:582-596):
     k = 1 + #addresses within the closed disk of radius = per-point
@@ -147,6 +148,7 @@ def k_anonymity_address(
     pairs = distance_join(
         cand.select(key, x, y, "_radius"), address.select(akey, ax, ay),
         radius=float(max_radius), lx=x, ly=y, rx=ax, ry=ay, salt=salt,
+        broadcast_right=broadcast_addr,
     ).where(F.col("dist") <= F.col("_radius"))
     counts = pairs.groupBy(key).agg((F.count(F.lit(1)) + 1).alias("k_anonymity"))
     return (
