@@ -357,6 +357,53 @@ def ripley_rmse(a: DataFrame, b: DataFrame) -> float:
     )
 
 
+def k_anonymity(
+    sensitive: DataFrame,
+    candidate: DataFrame,
+    population: DataFrame,
+    population_column: str = "pop",
+    key: str = "pid",
+    x: str = "x",
+    y: str = "y",
+    **kw,
+) -> DataFrame:
+    """Dispatching wrapper (reference analysis.py:108-147): address-point
+    population -> _calculate_k; polygon population -> _estimate_k. The
+    reference's polygon branch is unreachable through its public function
+    (tools.py:165-169 raises instead of returning False — SURVEY §2.2 A3);
+    ours dispatches on the declared schema: a ``ring`` column means
+    polygons, (ax, ay) means address points."""
+    if "ring" in population.columns:
+        if population_column not in population.columns:
+            raise ValueError(
+                f"Cannot find population column {population_column} in population_gdf"
+            )
+        return k_anonymity_polygon(
+            sensitive, candidate, population, population_column, key, x, y
+        )
+    if "ax" in population.columns:
+        return k_anonymity_address(sensitive, candidate, population, key, x, y, **kw)
+    raise ValueError("population must include either Points (ax, ay) or Polygons (ring).")
+
+
+def crop(
+    df: DataFrame,
+    bbox: tuple[float, float, float, float],
+    padding: float = 0.0,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """bbox crop with fractional padding (reference tools.py:150-162).
+    The range predicates push down to the scan / prune cell partitions."""
+    x0, y0, x1, y1 = bbox
+    px = (x1 - x0) * padding
+    py = (y1 - y0) * padding
+    return df.where(
+        (F.col(x) >= x0 - px) & (F.col(x) <= x1 + px)
+        & (F.col(y) >= y0 - py) & (F.col(y) <= y1 + py)
+    )
+
+
 def mark_unmasked(
     sensitive: DataFrame, masked: DataFrame, key: str = "pid", x: str = "x", y: str = "y"
 ) -> DataFrame:
