@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import rng
-from ..functions.masksql import swap_u
 from .distance_join import distance_join
 
 
@@ -46,9 +45,33 @@ def locationswap(
         df.select(key, x, y), address.select(akey, ax, ay), radius=high,
         lx=x, ly=y, rx=ax, ry=ay, salt=salt,
     ).where(F.col("dist") > float(low))
+    # Micro-staged hash (same trick as the donut stages): the inlined
+    # one-expression rendering blows whole-stage codegen's method limit on
+    # the joined row (interpreted fallback is ~30x slower on the hot join);
+    # three tiny columns execute the identical arithmetic.
+    from ..functions import rng as _rng
+    from ..functions.masksql import swap_pick_key
+
+    cand = (
+        cand.withColumn(
+            "_t", F.expr(_rng.t_sql(swap_pick_key(key, akey), _rng.TAG_SWAP, seed))
+        )
+        .withColumn(
+            "_g",
+            F.expr(
+                f"(_t * _t % {_rng.M} + _t * {_rng.B1} % {_rng.M} + {_rng.C1}) % {_rng.M}"
+            ),
+        )
+        .withColumn(
+            "_u",
+            F.expr(
+                f"((_g * _g % {_rng.M} + _g * {_rng.B2} % {_rng.M} + {_rng.C2})"
+                f" % {_rng.M}) / {_rng.flit(_rng.M)}"
+            ),
+        )
+    )
     picked = (
-        cand.withColumn("_u", F.expr(swap_u(key, akey, seed)))
-        .groupBy(key)
+        cand.groupBy(key)
         .agg(F.min(F.struct("_u", akey, ax, ay)).alias("_b"))
         .select(
             key,
