@@ -75,22 +75,54 @@ def donut(
         # we raise an explicit error with the same de-facto contract.
         raise ValueError("Every point must intersect exactly one container polygon.")
 
+    # Batched retry: evaluate BLOCK attempts per round via an exploded
+    # attempt column (the hash-RNG takes the attempt index as a column —
+    # rng.u_sql(draw="_att")), PIP all candidates in ONE join, keep each
+    # point's FIRST in-home attempt. Identical semantics to one-attempt-
+    # per-round (and to the oracle's attempt-unnest SQL), but ~BLOCK x
+    # fewer Spark jobs: expected rounds = O(log(points)/BLOCK) since
+    # per-attempt success probability is bounded below.
+    BLOCK = 8
     parts: list[DataFrame] = []
     remaining = pts.localCheckpoint(eager=True)
-    for attempt in range(max_attempts):
-        masked = _offsets(remaining, key, low, high, seed, distribution, attempt, x, y)
-        landed = pip_join(masked, container, key=key, x=x, y=y).select(
-            key, F.col("poly_id").alias("_landed")
+    a0 = 0
+    while a0 < max_attempts:
+        att = remaining.withColumn(
+            "_att", F.explode(F.array(*[F.lit(a0 + i) for i in range(BLOCK)]))
         )
-        masked = masked.join(landed, key, "left")
-        ok = masked.where(F.col("_landed") == F.col("_home"))
-        parts.append(ok.drop("_landed", "_home").localCheckpoint(eager=True))
-        bad_keys = masked.where(
-            F.col("_landed").isNull() | (F.col("_landed") != F.col("_home"))
-        ).select(key)
-        remaining = remaining.join(bad_keys, key, "inner").localCheckpoint(eager=True)
+        stages = masksql.donut_stages(key, low, high, seed, distribution, attempt="_att")
+        cand = _apply_stages(att, stages)
+        cand = (
+            cand.withColumn("_mx", F.expr(f"{x} + _offx"))
+            .withColumn("_my", F.expr(f"{y} + _offy"))
+            .drop(*masksql.donut_temp_cols(stages))
+        )
+        cand = cand.withColumn(
+            "_ck", F.col(key) * (max_attempts + 1) + F.col("_att")
+        )
+        landed = pip_join(cand, container, key="_ck", x="_mx", y="_my").select(
+            "_ck", F.col("poly_id").alias("_landed")
+        )
+        ok = (
+            cand.join(landed, "_ck")
+            .where(F.col("_landed") == F.col("_home"))
+            .groupBy(key)
+            .agg(F.min(F.struct("_att", "_mx", "_my")).alias("_b"))
+            .select(key, F.col("_b._mx").alias("_bx"), F.col("_b._my").alias("_by"))
+        )
+        resolved = (
+            remaining.join(ok, key, "inner")
+            .withColumn(x, F.col("_bx"))
+            .withColumn(y, F.col("_by"))
+            .drop("_bx", "_by", "_home")
+        )
+        parts.append(resolved.localCheckpoint(eager=True))
+        remaining = remaining.join(ok.select(key), key, "left_anti").localCheckpoint(
+            eager=True
+        )
         if remaining.isEmpty():
             break
+        a0 += BLOCK
     else:
         raise RuntimeError(f"Containment retry did not converge in {max_attempts} attempts.")
 
