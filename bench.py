@@ -89,8 +89,11 @@ def build_jobs(spark, sf_dir):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    warmups = int(os.environ.get("BENCH_WARMUP", "1"))
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    # default protocol is ONE timed run per job (the heavy join jobs take
+    # 30-120 s each at sf0.1; repetitions belong to BENCH/run_scaling.py
+    # where medians matter) — raise via BENCH_WARMUP / BENCH_RUNS
+    warmups = int(os.environ.get("BENCH_WARMUP", "0"))
+    runs = int(os.environ.get("BENCH_RUNS", "1"))
 
     from maskmypy_spark.session import get_spark
 
