@@ -38,9 +38,15 @@ def build_jobs(spark, sf_dir):
     from maskmypy_spark.operators.voronoi import voronoi
     from maskmypy_spark.sources import tables
 
-    pts = tables.big_points_df(spark, sf_dir).cache()
+    # The small-SF fixtures are single parquet files -> 1-3 scan splits, so
+    # a no-shuffle pipeline (pure-projection mask, broadcast join probe)
+    # would run on 1-3 of the N cores — a local artifact. On a real cluster
+    # the 100 TB fact table scans as thousands of splits; mirror that here
+    # by repartitioning ONCE at setup (untimed, before cache).
+    par = spark.sparkContext.defaultParallelism
+    pts = tables.big_points_df(spark, sf_dir).repartition(2 * par).cache()
     n_rows = pts.count()
-    addr = tables.address_df(spark, sf_dir).cache()
+    addr = tables.address_df(spark, sf_dir).repartition(par).cache()
     addr.count()
 
     def _force(df):

@@ -30,12 +30,20 @@ def displacement(
     col: str = "_distance",
 ) -> DataFrame:
     """candidate + per-row distance to its original location
-    (reference analysis.py:82-105; index alignment => equi-join on key)."""
+    (reference analysis.py:82-105; index alignment => equi-join on key).
+
+    The join is hinted shuffle-hash: at fact scale both sides are huge and
+    the shuffle is the natural plan anyway; at small scale it forces an
+    exchange that MATERIALIZES the candidate's (possibly giant) masked
+    coordinate expressions. Without the barrier, AQE broadcast-converts the
+    pid-join and the donut stage expressions inline into downstream join
+    CONDITIONS — which cannot be method-split, blowing janino's 64 KB
+    method limit and dropping the hottest join to interpreted mode."""
     s = sensitive.select(
         key, F.col(x).alias(SENS_PREFIX + x), F.col(y).alias(SENS_PREFIX + y)
     )
     return (
-        candidate.join(s, key)
+        candidate.join(s.hint("shuffle_hash"), key)
         .withColumn(col, F.expr(dist_sql(x, y, SENS_PREFIX + x, SENS_PREFIX + y)))
         .drop(SENS_PREFIX + x, SENS_PREFIX + y)
     )
@@ -176,8 +184,9 @@ def k_anonymity_polygon(
     A3); we expose it directly, like the reference's own tests do.
 
     Polygons are a small broadcast dimension: rings are collected to the
-    driver once and shipped in the UDF closure; the exact clip area runs
-    vectorized over flat (pair, edge) arrays per Arrow batch.
+    driver once and shipped via ``sc.broadcast`` (torrent-distributed once
+    per executor — NOT serialized into every task closure); the exact clip
+    area runs vectorized over flat (pair, edge) arrays per Arrow batch.
     """
     import numpy as np
     import pandas as pd
@@ -197,6 +206,7 @@ def k_anonymity_polygon(
         for pid, (rx, ry, _) in rings.items()
     ]
     spark = sensitive.sparkSession
+    bc = spark.sparkContext.broadcast((rings, areas))
     bbox_df = F.broadcast(
         spark.createDataFrame(bbox, ["poly_id", "_xmin", "_ymin", "_xmax", "_ymax"])
     )
@@ -210,6 +220,7 @@ def k_anonymity_polygon(
     )
 
     def clip_batches(it):
+        rings_l, areas_l = bc.value
         for pdf in it:
             if len(pdf) == 0:
                 yield pd.DataFrame({key: [], "_pop_adj": []})
@@ -217,7 +228,7 @@ def k_anonymity_polygon(
             out = np.zeros(len(pdf), dtype=np.float64)
             for pid in pdf["poly_id"].unique():
                 m = (pdf["poly_id"] == pid).to_numpy()
-                rx, ry, pop = rings[int(pid)]
+                rx, ry, pop = rings_l[int(pid)]
                 n_edges = len(rx)
                 cxs = pdf.loc[m, x].to_numpy()
                 cys = pdf.loc[m, y].to_numpy()
@@ -229,7 +240,7 @@ def k_anonymity_polygon(
                 rr = np.repeat(rs, n_edges)
                 contrib = geometry.circle_poly_edge_area(axr, ayr, bxr, byr, rr)
                 inter = np.abs(contrib.reshape(len(cxs), n_edges).sum(axis=1))
-                out[m] = pop * inter / areas[int(pid)]
+                out[m] = pop * inter / areas_l[int(pid)]
             yield pd.DataFrame({key: pdf[key], "_pop_adj": out})
 
     adj = pairs.mapInPandas(clip_batches, schema=f"{key} long, _pop_adj double")
@@ -448,18 +459,40 @@ def evaluate(
     akey: str = "aid",
     ax: str = "ax",
     ay: str = "ay",
+    population: DataFrame | None = None,
+    population_column: str = "pop",
+    skip_slow: bool = True,
 ) -> dict:
     """Composite evaluation (reference analysis.py:15-79): central drift,
-    displacement summary, NND deltas (+ k summary / satisfaction at 5/25/50
-    when an address layer is given). Returns a plain dict like the
-    reference; each stat is a tiny agg job."""
+    displacement summary, NND deltas, optional Ripley-K RMSE
+    (``skip_slow=False``, reference :64-65), and privacy metrics — k summary
+    + satisfaction at 5/25/50 — when a population layer is given.
+
+    ``population`` dispatches like the reference (:68-74): a ``ring`` column
+    means polygon disaggregation (k_anonymity_polygon), (ax, ay) means
+    address points. ``address`` is the address-points shorthand kept from
+    the engine's original API. Returns a plain dict like the reference;
+    each stat is a tiny agg job."""
     stats: dict = {}
     stats["central_drift"] = float(central_drift(sensitive, candidate, x, y).collect()[0][0])
     disp = displacement(sensitive, candidate, key, x, y)
     stats.update(summarize_displacement(disp).collect()[0].asDict())
     stats.update(nnd_delta(sensitive, candidate, key, x, y).collect()[0].asDict())
-    if address is not None:
-        kdf = k_anonymity_address(sensitive, candidate, address, key, x, y, akey, ax, ay)
+    if not skip_slow:
+        stats["ripley_rmse"] = ripley_rmse(
+            ripleys_k(sensitive, key=key, x=x, y=y),
+            ripleys_k(candidate, key=key, x=x, y=y),
+        )
+    pop = population if population is not None else address
+    if pop is not None:
+        if "ring" in pop.columns:
+            kdf = k_anonymity_polygon(
+                sensitive, candidate, pop, population_column, key, x, y
+            )
+        else:
+            kdf = k_anonymity_address(
+                sensitive, candidate, pop, key, x, y, akey, ax, ay
+            )
         stats.update({k: (int(v) if k in ("k_min", "k_max") else float(v))
                       for k, v in summarize_k(kdf).collect()[0].asDict().items()})
         for mk in (5, 25, 50):

@@ -63,14 +63,15 @@ def donut(
     home = pip_join(df, container, key=key, x=x, y=y).select(
         key, F.col("poly_id").alias("_home")
     )
-    dup = home.groupBy(key).count().where("count > 1")
-    if not dup.isEmpty():
+    # ONE PIP execution: checkpoint the joined fact table, then run the
+    # duplicate/orphan validations against the materialized result (the
+    # earlier form recomputed the PIP join three times).
+    pts = df.join(home, key, "left").localCheckpoint(eager=True)
+    if not pts.groupBy(key).count().where("count > 1").isEmpty():
         raise ValueError(
             "Points intersect multiple container polygons. Container polygons must not overlap."
         )
-    pts = df.join(home, key, "left")
-    orphans = pts.where(F.col("_home").isNull())
-    if not orphans.isEmpty():
+    if not pts.where(F.col("_home").isNull()).isEmpty():
         # The reference crashes on container-less points (donut.py:157-158);
         # we raise an explicit error with the same de-facto contract.
         raise ValueError("Every point must intersect exactly one container polygon.")
@@ -84,11 +85,16 @@ def donut(
     # per-attempt success probability is bounded below.
     BLOCK = 8
     parts: list[DataFrame] = []
-    remaining = pts.localCheckpoint(eager=True)
+    remaining = pts
     a0 = 0
     while a0 < max_attempts:
+        # Never explode past the attempt budget: a partial last block keeps
+        # attempt indices < max_attempts, so the composite key below cannot
+        # collide across points and the semantics stay identical to the
+        # oracle's range(0, max_attempts) unnest.
+        blk = min(BLOCK, max_attempts - a0)
         att = remaining.withColumn(
-            "_att", F.explode(F.array(*[F.lit(a0 + i) for i in range(BLOCK)]))
+            "_att", F.explode(F.array(*[F.lit(a0 + i) for i in range(blk)]))
         )
         stages = masksql.donut_stages(key, low, high, seed, distribution, attempt="_att")
         cand = _apply_stages(att, stages)
@@ -103,18 +109,25 @@ def donut(
         landed = pip_join(cand, container, key="_ck", x="_mx", y="_my").select(
             "_ck", F.col("poly_id").alias("_landed")
         )
+        # First in-home attempt per point: min over the attempt index alone
+        # (a BIGINT -> map-side-combining HashAggregate; min(struct) would
+        # plan a SortAggregate over every candidate). The winning
+        # coordinates are recomputed from the deterministic stages at the
+        # picked attempt — a pure codegen projection, bit-identical to the
+        # candidate that won.
         ok = (
             cand.join(landed, "_ck")
             .where(F.col("_landed") == F.col("_home"))
             .groupBy(key)
-            .agg(F.min(F.struct("_att", "_mx", "_my")).alias("_b"))
-            .select(key, F.col("_b._mx").alias("_bx"), F.col("_b._my").alias("_by"))
+            .agg(F.min("_att").alias("_batt"))
         )
+        resolved = remaining.join(ok, key, "inner")
+        rstages = masksql.donut_stages(key, low, high, seed, distribution, attempt="_batt")
         resolved = (
-            remaining.join(ok, key, "inner")
-            .withColumn(x, F.col("_bx"))
-            .withColumn(y, F.col("_by"))
-            .drop("_bx", "_by", "_home")
+            _apply_stages(resolved, rstages)
+            .withColumn(x, F.expr(f"{x} + _offx"))
+            .withColumn(y, F.expr(f"{y} + _offy"))
+            .drop(*masksql.donut_temp_cols(rstages), "_batt", "_home")
         )
         parts.append(resolved.localCheckpoint(eager=True))
         remaining = remaining.join(ok.select(key), key, "left_anti").localCheckpoint(
@@ -122,7 +135,7 @@ def donut(
         )
         if remaining.isEmpty():
             break
-        a0 += BLOCK
+        a0 += blk
     else:
         raise RuntimeError(f"Containment retry did not converge in {max_attempts} attempts.")
 

@@ -13,6 +13,16 @@ The "random choice" is argmin over candidates of a per-(point, address)
 hash uniform (functions/masksql.py:swap_u) — equivalent in distribution to
 the reference's rng.choice, but order- and partitioning-independent, and
 expressible as an exact SQL oracle.
+
+Scale note: the pick is ``min`` over ONE packed BIGINT ``h2 * 2^32 + aid``
+(h2 < 2^31 is the integer hash the uniform divides from; u = h2 / 2^31 is
+monotone in h2, so (h2, aid) lexicographic == the oracle's ORDER BY u, aid).
+``min(BIGINT)`` hash-aggregates with map-side partials; the earlier
+``min(struct(...))`` formulation forced a SortAggregate that sorted the
+entire exploded candidate set by pid (~50x slower at bench scale). The
+winning address's coordinates come from one equi-join back to the (small)
+address dimension. Precondition: 0 <= aid < 2^32 (packed key must stay
+< 2^63; (2^31-1)*2^32 + (2^32-1) == 2^63-1 exactly).
 """
 
 from __future__ import annotations
@@ -52,6 +62,7 @@ def locationswap(
     from ..functions import rng as _rng
     from ..functions.masksql import swap_pick_key
 
+    PACK = 1 << 32
     cand = (
         cand.withColumn(
             "_t", F.expr(_rng.t_sql(swap_pick_key(key, akey), _rng.TAG_SWAP, seed))
@@ -63,22 +74,23 @@ def locationswap(
             ),
         )
         .withColumn(
-            "_u",
+            "_h2",
             F.expr(
-                f"((_g * _g % {_rng.M} + _g * {_rng.B2} % {_rng.M} + {_rng.C2})"
-                f" % {_rng.M}) / {_rng.flit(_rng.M)}"
+                f"(_g * _g % {_rng.M} + _g * {_rng.B2} % {_rng.M} + {_rng.C2}) % {_rng.M}"
             ),
         )
     )
     picked = (
         cand.groupBy(key)
-        .agg(F.min(F.struct("_u", akey, ax, ay)).alias("_b"))
-        .select(
-            key,
-            F.col(f"_b.{ax}").alias("_swap_x"),
-            F.col(f"_b.{ay}").alias("_swap_y"),
-        )
+        .agg(F.min(F.col("_h2") * F.lit(PACK) + F.col(akey)).alias("_pk"))
+        .select(key, (F.col("_pk") % F.lit(PACK)).alias("_pick_aid"))
     )
+    addr_dim = address.select(
+        F.col(akey).alias("_pick_aid"),
+        F.col(ax).alias("_swap_x"),
+        F.col(ay).alias("_swap_y"),
+    )
+    picked = picked.join(addr_dim, "_pick_aid").select(key, "_swap_x", "_swap_y")
     out = df.join(picked, key, "left")
     return (
         out.withColumn("UNMASKED", F.when(F.col("_swap_x").isNull(), 1).otherwise(0))

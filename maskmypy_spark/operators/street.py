@@ -65,9 +65,16 @@ def build_csr(nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame, max_length: floa
 
 def _dijkstra_pick(csr, start_dense: int, target: int, max_length: float):
     """First `target` nodes by network distance (cutoff-doubling), then the
-    node minimizing (|d - mean|, node_id). Returns dense node index."""
+    node minimizing (|d - mean|, node_id). Returns dense node index.
+
+    Termination: if the reachable set stops growing between doublings (the
+    snapped node's connected component has fewer than `target` nodes), fall
+    back to the mean over what exists — the reference's identical loop
+    (masks/street.py:257-262) would spin forever on such a component; here
+    it would hang a distributed task, so the guard is mandatory."""
     indptr, indices, weights = csr["indptr"], csr["indices"], csr["weights"]
     cutoff = max_length
+    prev_reached = -1
     while True:
         dist: dict[int, float] = {}
         heap = [(0.0, start_dense)]
@@ -85,9 +92,13 @@ def _dijkstra_pick(csr, start_dense: int, target: int, max_length: float):
                     heapq.heappush(heap, (nd, v))
         if len(dist) >= target:
             break
+        if len(dist) == prev_reached:
+            break  # exhausted the connected component; use all reachable
+        prev_reached = len(dist)
         cutoff *= 2.0
-    items = sorted(dist.items(), key=lambda kv: (kv[1], csr["ids"][kv[0]]))[:target]
-    mean_d = sum(d for _, d in items) / target
+    n_take = min(target, len(dist))
+    items = sorted(dist.items(), key=lambda kv: (kv[1], csr["ids"][kv[0]]))[:n_take]
+    mean_d = sum(d for _, d in items) / n_take
     best = min(items, key=lambda kv: (abs(kv[1] - mean_d), csr["ids"][kv[0]]))
     return best[0]
 
@@ -103,13 +114,27 @@ def street(
     key: str = "pid",
     x: str = "x",
     y: str = "y",
+    max_graph_nodes: int = 20_000_000,
 ) -> DataFrame:
-    """Mask points onto the road network (all payload columns preserved)."""
+    """Mask points onto the road network (all payload columns preserved).
+
+    The road graph is a driver-materialized broadcast dimension — fine for
+    city/region graphs, a hard wall for continent-scale networks.
+    ``max_graph_nodes`` makes that assumption explicit: exceeding it raises
+    instead of silently OOMing the driver (at the default bound the CSR is
+    ~1 GB of numpy arrays)."""
     if low >= high:
         raise ValueError("Minimum target node count must be below maximum.")
     seed = rng.gen_seed() if not seed else seed
 
     spark = df.sparkSession
+    n_nodes = nodes.count()
+    if n_nodes > max_graph_nodes:
+        raise ValueError(
+            f"Road graph has {n_nodes} nodes > max_graph_nodes={max_graph_nodes}; "
+            "the street mask materializes the graph on the driver. Partition the "
+            "network (e.g. mask per region) or raise the bound explicitly."
+        )
     nodes_pdf = nodes.toPandas()
     edges_pdf = edges.toPandas()
     csr = build_csr(nodes_pdf, edges_pdf, max_length)

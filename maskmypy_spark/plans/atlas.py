@@ -29,6 +29,25 @@ from .. import analysis
 from ..functions import rng
 
 
+def _resolve_builtin_mask(name: str):
+    """Resolve a recorded mask name to the engine's built-in operators, so a
+    persisted atlas (from_json) replays cross-session without re-registering
+    callables — the reference resolves candidate['mask'] by name via
+    getattr(masks, ...) (atlas.py:224)."""
+    from .. import operators as ops
+
+    builtin = {
+        "donut": ops.donut,
+        "locationswap": ops.locationswap,
+        "voronoi": ops.voronoi,
+        "street": ops.street,
+        "street_k": ops.street_k,
+        "snap_to_nodes": ops.snap_to_nodes,
+        "suppress": ops.suppress,
+    }
+    return builtin.get(name)
+
+
 class Atlas:
     def __init__(
         self,
@@ -91,8 +110,21 @@ class Atlas:
         keep_candidate: bool = True,
         evaluate: bool = True,
         measure_execution_time: bool = True,
+        measure_peak_memory: bool = False,
+        skip_slow_evaluators: bool = True,
         **kwargs,
     ) -> DataFrame:
+        """Run a mask, record lineage + stats. ``measure_peak_memory``
+        mirrors the reference's tracemalloc instrumentation (atlas.py:
+        142-152, 169-170): it measures DRIVER-side Python allocations — the
+        engine's heavy lifting happens JVM-side (executor memory shows up in
+        Spark's own task metrics, not tracemalloc), so this mainly catches
+        accidental driver materialization. Mutually exclusive with
+        ``measure_execution_time``, like the reference (:126-129)."""
+        if measure_execution_time and measure_peak_memory:
+            raise ValueError(
+                "`measure_execution_time` and `measure_peak_memory` cannot both be true."
+            )
         kwargs = self._hydrate(kwargs)
         sig = inspect.signature(mask_func).parameters
         if "seed" in sig and not kwargs.get("seed"):
@@ -101,10 +133,18 @@ class Atlas:
             if col_kw in sig and col_kw not in kwargs:
                 kwargs[col_kw] = col
 
+        if measure_peak_memory:
+            import tracemalloc
+
+            tracemalloc.start()
         t0 = time.perf_counter()
         masked = mask_func(self.sensitive, **kwargs)
         ck = analysis.checksum(masked)  # forces execution too
         elapsed = round(time.perf_counter() - t0, 3)
+        if measure_peak_memory:
+            _, mem_peak = tracemalloc.get_traced_memory()
+            tracemalloc.stop()
+            mem_peak_mb = round(mem_peak / 1024 / 1024, 3)
 
         stats: dict = {}
         if evaluate:
@@ -112,6 +152,7 @@ class Atlas:
                 self.sensitive, masked,
                 address=self.population,
                 key=self.key, x=self.x, y=self.y,
+                skip_slow=skip_slow_evaluators,
             )
         if "UNMASKED" in masked.columns:
             from pyspark.sql import functions as F
@@ -119,6 +160,8 @@ class Atlas:
             stats["UNMASKED_POINTS"] = masked.agg(F.sum("UNMASKED")).collect()[0][0]
         if measure_execution_time:
             stats["execution_time"] = elapsed
+        if measure_peak_memory:
+            stats["memory_peak_mb"] = mem_peak_mb
 
         candidate = {
             "mask": getattr(mask_func, "__name__", str(mask_func)),
@@ -140,6 +183,8 @@ class Atlas:
         else:
             cand = self.candidates[idx]
         fn = custom_mask or getattr(self, "_mask_registry", {}).get(cand["mask"])
+        if fn is None:
+            fn = _resolve_builtin_mask(cand["mask"])
         if fn is None:
             raise ValueError(f"No callable registered for mask '{cand['mask']}'")
         kwargs = self._hydrate(cand["kwargs"])

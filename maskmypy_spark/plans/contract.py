@@ -181,6 +181,63 @@ def _q_snap():
     return q, sql
 
 
+def _roads(spark: SparkSession):
+    """Deterministic perturbed-grid road network (sources/fixtures.py §4) —
+    the same fixture the pytest street oracles use."""
+    from ..sources import fixtures
+
+    nodes = fixtures.road_nodes_pdf(spacing=300.0)
+    edges = fixtures.road_edges_pdf(nodes, spacing=300.0)
+    return spark.createDataFrame(nodes), spark.createDataFrame(edges)
+
+
+def _q_street():
+    """Street mask (reference masks/street.py:202-293): snap to nearest
+    valid node, Dijkstra out to a random target count, move to the node
+    nearest the mean network distance. Graph shortest paths are not
+    practically expressible in set SQL (a recursive-CTE Dijkstra over the
+    cutoff-doubling contract enumerates exponentially many paths), so this
+    is a rows-only driver entry; semantics are pinned by
+    tests/test_masks.py (node coincidence, determinism, budget bounds)."""
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        from ..operators.street import street
+
+        nodes, edges = _roads(spark)
+        m = street(
+            _sens(spark, sf), 10, 20, nodes, edges, max_length=500.0, seed=SEED
+        )
+        return m.select(
+            "pid", F.round("x", 6).alias("mx"), F.round("y", 6).alias("my")
+        )
+
+    return q, None
+
+
+def _q_street_k():
+    """Adaptive street_k privacy loop (reference masks/street.py:82-192);
+    rows-only for the same reason as street."""
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        from ..operators.street import street_k
+
+        nodes, edges = _roads(spark)
+        m = street_k(
+            _sens(spark, sf), tables.address_df(spark, sf),
+            min_k=3, start=10, stop=60, spread=2, increment=2,
+            suppression=0.95, max_length=500.0, seed=SEED,
+            nodes=nodes, edges=edges,
+        )
+        return m.select(
+            "pid",
+            F.round("x", 6).alias("sx"),
+            F.round("y", 6).alias("sy"),
+            "SUPPRESSED",
+        )
+
+    return q, None
+
+
 # ------------------------------------------------------------ analytics ---
 
 # Shared oracle CTE: donut-uniform mask + per-point k (closed-disk contract).
@@ -323,6 +380,89 @@ def _q_nnd_delta():
     return q, sql
 
 
+def _rect_pop(poly_id: str) -> str:
+    """Deterministic per-rect population, same formula both sides."""
+    return f"(100.0 + ({poly_id}) * 7.0)"
+
+
+def _q_k_polygon():
+    """Population-disaggregation k (reference analysis.py:524-579): the
+    engine clips each displacement disk against the census rectangles with
+    the vectorized Green's-theorem kernel (functions/geometry.py); the
+    oracle states the IDENTICAL per-edge closed form in SQL (sector terms
+    via atan2 — ulp differences vs numpy are absorbed by the integer floor;
+    any k flip would need a population sum within ~1e-9 of an integer)."""
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        sens = _sens(spark, sf)
+        m = donut(sens, LOW, HIGH, SEED, "uniform")
+        polys = _rect_containers(spark).withColumn(
+            "pop", F.expr(_rect_pop("poly_id"))
+        )
+        k = analysis.k_anonymity_polygon(sens, m, polys)
+        return k.select("pid", "k_anonymity")
+
+    # per-edge contribution stages over circle-centered edge coords
+    # (eax, eay, ebx, eby) and radius-squared r2 — mirrors
+    # geometry.circle_poly_edge_area case-for-case.
+    tri = lambda ux, uy, vx, vy: f"(0.5 * (({ux}) * ({vy}) - ({uy}) * ({vx})))"  # noqa: E731
+    sec = lambda ux, uy, vx, vy: (  # noqa: E731
+        f"(0.5 * r2 * atan2(({ux}) * ({vy}) - ({uy}) * ({vx}),"
+        f" ({ux}) * ({vx}) + ({uy}) * ({vy})))"
+    )
+    stages = [
+        ("dA2", "eax * eax + eay * eay"),
+        ("dB2", "ebx * ebx + eby * eby"),
+        ("edx", "ebx - eax"),
+        ("edy", "eby - eay"),
+        ("qa", "edx * edx + edy * edy"),
+        ("qb", "2.0 * (eax * edx + eay * edy)"),
+        ("qc", "dA2 - r2"),
+        ("disc", "qb * qb - 4.0 * qa * qc"),
+        ("sq", "sqrt(greatest(disc, 0.0))"),
+        ("t1", "CASE WHEN qa > 0 THEN (0.0 - qb - sq) / (2.0 * qa) ELSE 0.0 END"),
+        ("t2", "CASE WHEN qa > 0 THEN (0.0 - qb + sq) / (2.0 * qa) ELSE 0.0 END"),
+        ("p1x", "eax + t1 * edx"),
+        ("p1y", "eay + t1 * edy"),
+        ("p2x", "eax + t2 * edx"),
+        ("p2y", "eay + t2 * edy"),
+        (
+            "contrib",
+            "CASE WHEN qa <= 0 THEN 0.0 "
+            f"WHEN dA2 <= r2 AND dB2 <= r2 THEN {tri('eax','eay','ebx','eby')} "
+            f"WHEN dA2 <= r2 THEN {tri('eax','eay','p2x','p2y')} + {sec('p2x','p2y','ebx','eby')} "
+            f"WHEN dB2 <= r2 THEN {sec('eax','eay','p1x','p1y')} + {tri('p1x','p1y','ebx','eby')} "
+            "WHEN disc > 0 AND t1 > 0.0 AND t1 < 1.0 AND t2 > 0.0 AND t2 < 1.0 THEN "
+            f"{sec('eax','eay','p1x','p1y')} + {tri('p1x','p1y','p2x','p2y')} + {sec('p2x','p2y','ebx','eby')} "
+            f"ELSE {sec('eax','eay','ebx','eby')} END",
+        ),
+    ]
+    ctes, last = _chain(stages, "edges", "_e")
+    sql = (
+        f"WITH {_masked_cte('uniform')}, "
+        f"disp AS (SELECT pid, mx, my, {dist_sql('mx', 'my', 'x', 'y')} AS radius FROM m), "
+        "rects AS (SELECT ix * 10 + iy AS poly_id, "
+        f"ix * {flit(RECT)} AS rx0, iy * {flit(RECT)} AS ry0, "
+        f"ix * {flit(RECT)} + {flit(RECT)} AS rx1, iy * {flit(RECT)} + {flit(RECT)} AS ry1, "
+        f"{_rect_pop('ix * 10 + iy')} AS pop "
+        "FROM (SELECT unnest(range(0, 8)) AS ix) CROSS JOIN (SELECT unnest(range(0, 4)) AS iy)), "
+        # ring (x0,y0)->(x1,y0)->(x1,y1)->(x0,y1) in circle-centered coords
+        "edges AS (SELECT d.pid, r.poly_id, r.pop, d.radius * d.radius AS r2, "
+        f"{flit(RECT * RECT)} AS rect_area, e.i, "
+        "CASE e.i WHEN 0 THEN r.rx0 WHEN 1 THEN r.rx1 WHEN 2 THEN r.rx1 ELSE r.rx0 END - d.mx AS eax, "
+        "CASE e.i WHEN 0 THEN r.ry0 WHEN 1 THEN r.ry0 WHEN 2 THEN r.ry1 ELSE r.ry1 END - d.my AS eay, "
+        "CASE e.i WHEN 0 THEN r.rx1 WHEN 1 THEN r.rx1 WHEN 2 THEN r.rx0 ELSE r.rx0 END - d.mx AS ebx, "
+        "CASE e.i WHEN 0 THEN r.ry0 WHEN 1 THEN r.ry1 WHEN 2 THEN r.ry1 ELSE r.ry0 END - d.my AS eby "
+        "FROM disp d CROSS JOIN rects r CROSS JOIN (SELECT unnest(range(0, 4)) AS i) e), "
+        f"{ctes}, "
+        f"per_poly AS (SELECT pid, poly_id, any_value(pop) AS pop, any_value(rect_area) AS ra, "
+        f"abs(sum(contrib)) AS inter FROM {last} GROUP BY pid, poly_id), "
+        "ks AS (SELECT pid, CAST(floor(sum(pop * inter / ra)) AS BIGINT) AS k FROM per_poly GROUP BY pid) "
+        "SELECT m.pid, coalesce(ks.k, 0) AS k_anonymity FROM m LEFT JOIN ks ON m.pid = ks.pid"
+    )
+    return q, sql
+
+
 def _q_pip_count():
     def q(spark: SparkSession, sf: str) -> DataFrame:
         inside = pip_join(_sens(spark, sf), _rect_containers(spark))
@@ -357,12 +497,13 @@ def _q_ripleys_k():
         return r.select("band", F.round("support", 6).alias("support"),
                         F.round("statistic", 6).alias("statistic")).orderBy("band")
 
-    bands = ", ".join(
-        f"round(sum(CASE WHEN dist <= {flit(d)} THEN 1 ELSE 0 END) * sc.s, 6) AS _k{i}"
+    counts = ", ".join(
+        f"sum(CASE WHEN dist <= {flit(d)} THEN 1 ELSE 0 END) AS _n{i}"
         for i, d in enumerate(support)
     )
     unpivot = " UNION ALL ".join(
-        f"SELECT {i} AS band, round({flit(d)}, 6) AS support, _k{i} AS statistic FROM wide"
+        f"SELECT {i} AS band, round({flit(d)}, 6) AS support, "
+        f"round(_n{i} * s, 6) AS statistic FROM wide"
         for i, d in enumerate(support)
     )
     sql = (
@@ -371,7 +512,7 @@ def _q_ripleys_k():
         "sc AS (SELECT (x1 - x0) * (y1 - y0) / (n * (n - 1.0)) AS s FROM bb), "
         f"pairs AS (SELECT {dist_sql('a.x', 'a.y', 'b.x', 'b.y')} AS dist "
         "FROM pts a CROSS JOIN pts b WHERE a.pid <> b.pid), "
-        f"wide AS (SELECT {bands} FROM pairs CROSS JOIN sc) "
+        f"wide AS (SELECT {counts}, any_value(sc.s) AS s FROM pairs CROSS JOIN sc) "
         f"SELECT * FROM ({unpivot}) ORDER BY band"
     )
     return q, sql
@@ -503,7 +644,10 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["locationswap"] = _q_locationswap()
     reg["voronoi"] = _q_voronoi()
     reg["snap_to_nodes"] = _q_snap()
+    reg["street"] = _q_street()
+    reg["street_k"] = _q_street_k()
     reg["k_anonymity_address"] = _q_k_anonymity()
+    reg["k_anonymity_polygon"] = _q_k_polygon()
     reg["k_satisfaction"] = _q_k_satisfaction()
     reg["summarize_k"] = _q_summarize_k()
     reg["suppress"] = _q_suppress()
@@ -511,6 +655,7 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["central_drift"] = _q_central_drift()
     reg["nnd_delta"] = _q_nnd_delta()
     reg["pip_count"] = _q_pip_count()
+    reg["ripleys_k"] = _q_ripleys_k()
     reg["doc_token_count"] = _q_doc_tokens()
     reg["doc_quality"] = _q_doc_quality()
     reg["dedup_exact"] = _q_dedup_exact()

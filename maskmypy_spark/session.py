@@ -26,6 +26,19 @@ def get_spark(
         # the north rule's explicit skew handling rides on this plus the
         # engine's own hot-cell salting (operators/distance_join.py).
         .config("spark.sql.adaptive.enabled", "true")
+        # InferFiltersFromConstraints synthesizes isnotnull(<expr>) filters
+        # on join inputs and pushes them below the exchanges, re-inlining
+        # the full hash-RNG mask expressions that the operators deliberately
+        # micro-stage — the inferred filter alone blows janino's 64 KB
+        # method limit and drops the hottest join stages to interpreted
+        # mode (~15-30x slower; BENCH_r01's q_locationswap pathology). The
+        # engine's inputs carry no nulls in key or coordinate columns, so
+        # the inferred filters never prune a row; excluding just this rule
+        # keeps the rest of constraint propagation intact.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

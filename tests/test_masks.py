@@ -104,6 +104,28 @@ def test_donut_containment(spark, points):
     assert d.min() >= 50.0 and d.max() <= 800.0
 
 
+def test_donut_containment_partial_block(spark, points):
+    """Attempt budgets that are NOT multiples of the internal batch size
+    must preserve first-success semantics (regression: the last round used
+    to explode attempt indices past max_attempts, colliding composite keys
+    across points). If every point converges within the smaller budget, the
+    result must be bit-identical to a larger budget's."""
+    rect = 2000.0
+    rows = []
+    for ix in range(10):
+        for iy in range(5):
+            x0, y0 = ix * rect, iy * rect
+            ring = [
+                {"x": x0, "y": y0}, {"x": x0 + rect, "y": y0},
+                {"x": x0 + rect, "y": y0 + rect}, {"x": x0, "y": y0 + rect},
+            ]
+            rows.append((ix * 10 + iy, ring))
+    cont = spark.createDataFrame(rows, "poly_id long, ring array<struct<x:double,y:double>>")
+    m12 = donut(points, 50.0, 800.0, seed=31, container=cont, max_attempts=12)
+    m100 = donut(points, 50.0, 800.0, seed=31, container=cont, max_attempts=100)
+    assert analysis.checksum(m12) == analysis.checksum(m100)
+
+
 def test_locationswap_annulus(points, addresses):
     """reference tests/masks/test_locationswap.py:8-36"""
     m = locationswap(points, 100.0, 600.0, addresses, seed=11)
