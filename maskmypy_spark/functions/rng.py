@@ -112,6 +112,16 @@ def u_from_t_sql(t: str) -> str:
     return _mix_sql(f"({t})")
 
 
+def h2_sql(key: str, tag: int, seed: int, draw: int = 0) -> str:
+    """The INTEGER stage-2 hash h2 in [0, 2^31) as a SQL expression — the
+    value ``u_sql`` divides by M. Used where downstream packing needs the
+    raw 31-bit integer (pick keys, derived sketch inputs)."""
+    c = _const(tag, seed, draw)
+    t = f"(((({key}) % {M}) * {A_KEY} + {c}) % {M})"
+    h1 = f"(({t}) * ({t}) % {M} + ({t}) * {B1} % {M} + {C1}) % {M}"
+    return f"((({h1}) * ({h1}) % {M} + ({h1}) * {B2} % {M} + {C2}) % {M})"
+
+
 def u_np(key, tag: int, seed: int, draw: int = 0) -> np.ndarray:
     """numpy twin of the SQL renderers — bit-identical doubles."""
     key = np.asarray(key, dtype=np.int64)

@@ -50,6 +50,51 @@ def doc_quality(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
     )
 
 
+# Stopword profiles for the n-gram/function-word language-ID heuristic —
+# the standard cheap pre-filter of web-scale corpora (a real pipeline swaps
+# in fastText/CLD3 scores through the same operator shape).
+LANG_PROFILES = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "en": ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for"),
+    "es": ("el", "los", "las", "que", "es", "una", "por", "con", "para", "del"),
+    "fr": ("le", "les", "et", "des", "est", "une", "dans", "pour", "que", "pas"),
+}
+
+
+def language_id(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Per-document language guess: share of lowercase tokens hitting each
+    language's function-word profile; argmax with alphabetical tie-break;
+    'und' when nothing matches. Pure JVM column expressions (lower + split
+    + filter + size) — one pass, no shuffle, no Python."""
+    toks = F.split(F.trim(F.lower(F.col(text))), TOKENIZE)
+    out = df.select(key, toks.alias("_t"))
+    langs = sorted(LANG_PROFILES)  # alphabetical => tie-break by rank below
+    for lang in langs:
+        words = LANG_PROFILES[lang]
+        out = out.withColumn(
+            f"_s_{lang}",
+            F.round(F.size(F.filter(F.col("_t"), lambda t: t.isin(*words))) / F.size("_t"), 6),
+        )
+    # max over (score, rank): rank descends alphabetically, so equal scores
+    # resolve to the alphabetically-first language.
+    choices = F.array(
+        *[
+            F.struct(
+                F.col(f"_s_{lang}").alias("s"),
+                F.lit(len(langs) - 1 - i).alias("r"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(choices)
+    return out.select(
+        key,
+        F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und")).alias("language"),
+        best["s"].alias("score"),
+    )
+
+
 def dedup_exact(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """Exact duplicate groups by content hash (md5); keeper = min key.
     Scale: one shuffle on the 128-bit digest, partial-aggregated map-side."""
@@ -84,16 +129,25 @@ def ngram_jaccard_pairs(
     key: str = "doc_id",
     text: str = "text",
     n: int = 3,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | str | None = "auto",
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-duplicate pairs via the shingle inverted
     index: docs sharing >=1 shingle are candidates; |A ∩ B| falls out of the
     index self-join, |A|,|B| from per-doc counts. One shuffle on shingle,
-    one on the pair key. ``max_shingle_df`` drops ubiquitous shingles
-    (stop-shingles) — the classic skew guard for web corpora; None keeps
-    exactness."""
+    one on the pair key.
+
+    ``max_shingle_df`` drops ubiquitous shingles (stop-shingles) from the
+    candidate join — the mandatory skew guard at web scale, where one hot
+    shingle makes the self-join quadratic. Default "auto" derives a cap of
+    max(4096, 1% of corpus) — a no-op at verification scales (so the exact
+    oracle still matches) while bounding any single shingle's join fan-out
+    at 100 TB. ``None`` disables the guard (fully exact, unbounded skew).
+    Note the denominator |A|+|B|-|A∩B| still counts dropped shingles, so a
+    capped run can only UNDER-estimate jaccard (no false positives)."""
     sh = shingles(df, key, text, n).cache()
     sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    if max_shingle_df == "auto":
+        max_shingle_df = max(4096, int(df.count() * 0.01))
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
@@ -184,6 +238,120 @@ def minhash_lsh_pairs(
     )
 
 
+def hamming_pairs(
+    df: DataFrame,
+    col: str,
+    key: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """All pairs whose 64-bit ``col`` values differ in <= max_hamming bits,
+    via the banded pigeonhole join: split the word into ``bands`` contiguous
+    bit bands (default max_hamming + 1 — any pair within the threshold must
+    agree EXACTLY on at least one band), equi-join on (band index, band
+    value), then verify bit_count(xor) on the candidates. No false
+    negatives; candidate volume is bucket-bounded like MinHash-LSH — the
+    standard scale path for SimHash / pHash dedup over web corpora.
+
+    One exploded equi-join (band id folded into the join key) instead of
+    ``bands`` separate self-joins; hashes travel with the explode so the
+    verify is join-local."""
+    bands = bands if bands is not None else max_hamming + 1
+    if not 1 <= bands <= 64:
+        raise ValueError("bands must be in [1, 64]")
+    w = 64 // bands
+    parts = []
+    for b in range(bands):
+        width = w if b < bands - 1 else 64 - w * (bands - 1)
+        lo = b * w
+        mask = -1 if width == 64 else (1 << width) - 1
+        parts.append(
+            F.struct(
+                F.lit(b).alias("b"),
+                (F.shiftright(F.col(col), lo).bitwiseAND(F.lit(mask))).alias("v"),
+            )
+        )
+    bv = df.select(
+        F.col(key).alias("_hk"),
+        F.col(col).alias("_hv"),
+        F.explode(F.array(*parts)).alias("_band"),
+    ).select("_hk", "_hv", F.col("_band.b").alias("_b"), F.col("_band.v").alias("_v"))
+    l = bv.select(F.col("_hk").alias("d1"), F.col("_hv").alias("_h1"), "_b", "_v")
+    r = bv.select(F.col("_hk").alias("d2"), F.col("_hv").alias("_h2"), "_b", "_v")
+    return (
+        l.join(r, ["_b", "_v"])
+        .where(F.col("d1") < F.col("d2"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+        .distinct()
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    key: str = "doc_id",
+    text: str = "text",
+    bands: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: simhash64 + banded hamming join."""
+    return hamming_pairs(
+        simhash64(df, key, text), "simhash", key, max_hamming, bands
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame, d1: str = "d1", d2: str = "d2", max_iter: int = 30
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
+    components) so a corpus can actually be deduplicated: every doc in a
+    component maps to cluster_id = the component's minimum doc id (the
+    keeper). Iterative min-label propagation — each round is one equi-join
+    + min-aggregate; converges in O(component diameter) rounds, each round
+    checkpointed so lineage stays flat. Near-dup components in practice are
+    tiny cliques, so a handful of rounds suffices; raise ``max_iter`` for
+    pathological chain topologies.
+
+    Returns (doc_id, cluster_id); docs that appear in no pair are their own
+    singletons and are simply absent (callers union them back if needed)."""
+    e = pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select("a")
+        .distinct()
+        .withColumn("label", F.col("a"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("a").alias("b"), F.col("label").alias("_nl")), "b"
+        ).groupBy("a").agg(F.min("_nl").alias("_best"))
+        new = (
+            labels.join(nbr, "a", "left")
+            .select(
+                "a",
+                F.least(F.col("label"), F.coalesce("_best", F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("label") != F.least(
+                    F.col("label"), F.coalesce("_best", F.col("label"))
+                )).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new.where("_chg").limit(1).count()
+        labels = new.select("a", "label").localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")
+    return labels.select(F.col("a").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash64(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of the sum of token
     hash bits. Declarative: explode tokens, aggregate bit votes."""
@@ -246,52 +414,78 @@ def cosine_nn_lsh(
     """Approximate NN via random-hyperplane LSH: ``tables`` independent
     sign-sketch buckets; candidates = bucket collisions; exact cosine on
     candidates; per-vector argmax. Recall < 1 by design (the scale path —
-    candidate volume is O(n·bucket) instead of O(n²))."""
+    candidate volume is O(n·bucket) instead of O(n²)).
+
+    Hyperplanes ship as a BROADCAST plane table joined to the vectors (one
+    `zip_with` dot product per (vector, plane) row) — never as inlined SQL
+    literals, which at dim >= 256 used to blow Catalyst analysis/codegen
+    (tables * planes * dim literals in one expression tree). All ``tables``
+    band joins collapse into ONE equi-join on (table id, bucket).
+
+    The per-vector argmax is min over a packed BIGINT — cos is already
+    rounded to 6 dp, so (round(cos*1e6), id) packs losslessly into 63 bits
+    and the aggregate hash-aggregates with map-side partials instead of
+    planning a SortAggregate over every candidate pair. Precondition:
+    0 <= id < 2^32."""
     import numpy as np
 
+    spark = emb.sparkSession
     dim = len(emb.select(vec).head()[0])
     rs = np.random.RandomState(seed)
-    out = None
+    plane_rows = [
+        (t, p, [float(x) for x in rs.standard_normal(dim)])
+        for t in range(tables)
+        for p in range(planes)
+    ]
+    pl = spark.createDataFrame(plane_rows, "t int, p int, plane array<double>")
+
     e = emb.select(
         F.col(key).alias("_id"),
         F.expr(f"transform({vec}, v -> CAST(v AS DOUBLE))").alias("_v"),
     )
-    for t in range(tables):
-        h = rs.standard_normal((planes, dim))
-        bits = [
-            F.when(
-                F.expr(
-                    "aggregate(zip_with(_v, array("
-                    + ", ".join(f"CAST({h[p, d]!r} AS DOUBLE)" for d in range(dim))
-                    + "), (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
-                )
-                > 0,
-                1,
-            )
-            .otherwise(0)
-            .alias(f"_b{p}")
-            for p in range(planes)
-        ]
-        bucket = e.select("_id", "_v", *bits).withColumn(
-            "_bucket",
-            F.expr(" + ".join(f"_b{p} * {1 << p}" for p in range(planes))),
-        ).select("_id", "_v", "_bucket")
-        l = bucket.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
-        r = bucket.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
-        p = l.join(r, "_bucket").where(F.col("id_a") != F.col("id_b")).select(
-            "id_a", "id_b", "_va", "_vb"
-        )
-        out = p if out is None else out.unionByName(p)
-    cand = out.dropDuplicates(["id_a", "id_b"])
+    proj = e.crossJoin(F.broadcast(pl)).withColumn(
+        "_bit",
+        F.expr(
+            "CASE WHEN aggregate(zip_with(_v, plane, (a, b) -> a * b), "
+            "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) > 0 THEN 1 ELSE 0 END"
+        ),
+    )
+    buckets = proj.groupBy("_id", "t").agg(
+        F.sum(F.expr("_bit * shiftleft(CAST(1 AS BIGINT), p)")).alias("_bucket")
+    )
+    l = buckets.select(F.col("_id").alias("id_a"), "t", "_bucket")
+    r = buckets.select(F.col("_id").alias("id_b"), "t", "_bucket")
+    cand = (
+        l.join(r, ["t", "_bucket"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     dot = "aggregate(zip_with(_va, _vb, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
     na = "sqrt(aggregate(zip_with(_va, _va, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z))"
     nb = "sqrt(aggregate(zip_with(_vb, _vb, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z))"
-    scored = cand.withColumn("cos", F.round(F.expr(f"({dot}) / ({na} * {nb})"), 6))
-    best = scored.groupBy("id_a").agg(
-        F.max(F.struct("cos", (-F.col("id_b")).alias("_nid"), "id_b")).alias("_b")
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(F.expr(f"({dot}) / ({na} * {nb})"), 6))
     )
-    return best.select(
-        F.col("id_a").alias(key),
-        F.col("_b.id_b").alias("nn_id"),
-        F.col("_b.cos").alias("cos"),
+    # pack (desc cos, asc id_b) into one BIGINT: minimize (-cos6, id_b)
+    PACK = 1 << 32
+    packed = scored.select(
+        "id_a",
+        (
+            (F.lit(1_000_000) - F.round(F.col("cos") * 1_000_000, 0).cast("bigint")) * F.lit(PACK)
+            + F.col("id_b")
+        ).alias("_pk"),
+    )
+    best = packed.groupBy("id_a").agg(F.min("_pk").alias("_pk"))
+    decoded = best.select(
+        "id_a",
+        (F.col("_pk") % F.lit(PACK)).alias("id_b"),
+        ((F.lit(1_000_000) - F.expr(f"_pk DIV {PACK}")) / 1_000_000.0).alias("cos"),
+    )
+    return decoded.select(
+        F.col("id_a").alias(key), F.col("id_b").alias("nn_id"), F.col("cos")
     )

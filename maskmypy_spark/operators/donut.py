@@ -47,17 +47,33 @@ def donut(
     y: str = "y",
     container: DataFrame | None = None,
     max_attempts: int = 200,
+    snap_to_streets: bool = False,
+    street_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Return ``df`` with (x, y) displaced; all payload columns (image
     bytes, captions, ...) pass through untouched — the per-row fidelity
-    invariant holds by construction."""
+    invariant holds by construction.
+
+    ``snap_to_streets=True`` (reference masks/donut.py:82-83) snaps masked
+    points to the nearest node of ``street_nodes`` — the reference fetches
+    OSM from the bbox; this engine is offline, so the caller provides the
+    node layer (node_id, nx, ny) explicitly."""
     if low >= high:
         # reference masks/donut.py:91-92
         raise ValueError("Minimum displacement distance is greater than or equal to maximum.")
     seed = rng.gen_seed() if not seed else seed  # falsy-seed quirk preserved (donut.py:74)
+    if snap_to_streets and street_nodes is None:
+        raise ValueError("snap_to_streets=True requires street_nodes (node_id, nx, ny).")
+
+    def _post(out: DataFrame) -> DataFrame:
+        if not snap_to_streets:
+            return out
+        from .snap import snap_to_nodes
+
+        return snap_to_nodes(out, street_nodes, key=key, x=x, y=y)
 
     if container is None:
-        return _offsets(df, key, low, high, seed, distribution, 0, x, y)
+        return _post(_offsets(df, key, low, high, seed, distribution, 0, x, y))
 
     # --- containment variant (reference donut.py:152-168) ---
     home = pip_join(df, container, key=key, x=x, y=y).select(
@@ -142,4 +158,4 @@ def donut(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _post(out)

@@ -46,10 +46,14 @@ def locationswap(
     ax: str = "ax",
     ay: str = "ay",
     salt: int = 0,
+    snap_to_streets: bool = False,
+    street_nodes: DataFrame | None = None,
 ) -> DataFrame:
     if low >= high:
         raise ValueError("Minimum displacement distance is larger than or equal to maximum.")
     seed = rng.gen_seed() if not seed else seed
+    if snap_to_streets and street_nodes is None:
+        raise ValueError("snap_to_streets=True requires street_nodes (node_id, nx, ny).")
 
     cand = distance_join(
         df.select(key, x, y), address.select(akey, ax, ay), radius=high,
@@ -92,9 +96,14 @@ def locationswap(
     )
     picked = picked.join(addr_dim, "_pick_aid").select(key, "_swap_x", "_swap_y")
     out = df.join(picked, key, "left")
-    return (
+    out = (
         out.withColumn("UNMASKED", F.when(F.col("_swap_x").isNull(), 1).otherwise(0))
         .withColumn(x, F.coalesce("_swap_x", x))
         .withColumn(y, F.coalesce("_swap_y", y))
         .drop("_swap_x", "_swap_y")
     )
+    if snap_to_streets:  # reference masks/locationswap.py:73-74
+        from .snap import snap_to_nodes
+
+        out = snap_to_nodes(out, street_nodes, key=key, x=x, y=y)
+    return out

@@ -26,7 +26,11 @@ def voronoi(
     x: str = "x",
     y: str = "y",
     cs: float | None = None,
+    snap_to_streets: bool = False,
+    street_nodes: DataFrame | None = None,
 ) -> DataFrame:
+    if snap_to_streets and street_nodes is None:
+        raise ValueError("snap_to_streets=True requires street_nodes (node_id, nx, ny).")
     others = df.select(
         F.col(key).alias("_vkey"), F.col(x).alias("_vx"), F.col(y).alias("_vy")
     )
@@ -34,8 +38,13 @@ def voronoi(
         df, others, key=key, x=x, y=y, okey="_vkey", ox="_vx", oy="_vy",
         cs=cs, exclude_self=True,
     )
-    return (
+    out = (
         nn.withColumn(x, F.expr(f"({x} + _vx) / 2.0"))
         .withColumn(y, F.expr(f"({y} + _vy) / 2.0"))
         .drop("_vkey", "_vx", "_vy", "nn_dist")
     )
+    if snap_to_streets:  # reference masks/voronoi.py:21-24, 49-50
+        from .snap import snap_to_nodes
+
+        out = snap_to_nodes(out, street_nodes, key=key, x=x, y=y)
+    return out

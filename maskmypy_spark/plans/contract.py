@@ -324,6 +324,30 @@ def _q_suppress():
     return q, sql
 
 
+def _q_displacement_segments():
+    """Per-point displacement segments (SURVEY A20 / reference
+    analysis.py:468-521's map layer): original -> masked endpoints plus
+    distance, the table a displacement-map renderer consumes."""
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        sens = _sens(spark, sf)
+        m = donut(sens, LOW, HIGH, SEED, "uniform")
+        d = analysis.displacement(sens, m)
+        return d.select(
+            "pid",
+            F.round("x", 6).alias("mx"),
+            F.round("y", 6).alias("my"),
+            F.round("_distance", 6).alias("distance"),
+        )
+
+    sql = (
+        f"WITH {_masked_cte('uniform')} "
+        "SELECT pid, round(mx, 6) AS mx, round(my, 6) AS my, "
+        f"round({dist_sql('mx', 'my', 'x', 'y')}, 6) AS distance FROM m"
+    )
+    return q, sql
+
+
 def _q_displacement_summary():
     def q(spark: SparkSession, sf: str) -> DataFrame:
         sens = _sens(spark, sf)
@@ -610,6 +634,138 @@ def _q_cosine_nn():
     return q, sql
 
 
+def _q_doc_language():
+    from ..operators import dedup
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.language_id(tables.load(spark, sf, "documents"))
+
+    langs = sorted(dedup.LANG_PROFILES)
+    score = lambda lang: (  # noqa: E731
+        "round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"t -> t IN ({', '.join(repr(w) for w in dedup.LANG_PROFILES[lang])}))) "
+        "/ len(string_split_regex(trim(lower(text)), '\\s+')), 6)"
+    )
+    scores = ", ".join(f"{score(lang)} AS s_{lang}" for lang in langs)
+    best = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    # ordered CASE with >= implements the alphabetical tie-break
+    pick = " ".join(
+        f"WHEN s_{lang} >= {best} THEN '{lang}'" for lang in langs
+    )
+    sql = (
+        f"WITH s AS (SELECT doc_id, {scores} FROM documents) "
+        f"SELECT doc_id, CASE WHEN {best} <= 0 THEN 'und' {pick} END AS language, "
+        f"{best} AS score FROM s"
+    )
+    return q, sql
+
+
+HAM_T = 2
+_TAG_HG1, _TAG_HG2, _TAG_HPOS = 21, 22, 23
+
+
+def _hash64_parts():
+    """Derived 62-bit sketch column with PLANTED near-dup groups: docs
+    sharing doc_id % 50 get the same 62-bit base; each doc flips one
+    hash-chosen bit, so within-group hamming <= 2 and cross-group pairs are
+    (62-bit-)random. Exercises the banded hamming join end-to-end with an
+    exact integer oracle."""
+    from ..functions.rng import h2_sql
+
+    base_hi = h2_sql("doc_id % 50", _TAG_HG1, SEED)
+    base_lo = h2_sql("doc_id % 50", _TAG_HG2, SEED)
+    pos = f"({h2_sql('doc_id', _TAG_HPOS, SEED)} % 62)"
+    return base_hi, base_lo, pos
+
+
+def _q_dedup_hamming():
+    from ..operators import dedup
+
+    base_hi, base_lo, pos = _hash64_parts()
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        docs = tables.load(spark, sf, "documents").select("doc_id")
+        h = docs.select(
+            "doc_id",
+            F.expr(
+                f"({base_hi} * 2147483648 + {base_lo})"
+                f" ^ shiftleft(CAST(1 AS BIGINT), CAST({pos} AS INT))"
+            ).alias("hash64"),
+        )
+        return dedup.hamming_pairs(h, "hash64", key="doc_id", max_hamming=HAM_T)
+
+    sql = (
+        f"WITH h AS (SELECT doc_id, xor({base_hi} * 2147483648 + {base_lo}, "
+        f"CAST(1 AS BIGINT) << CAST({pos} AS INT)) AS hash64 FROM documents) "
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, "
+        "CAST(bit_count(xor(a.hash64, b.hash64)) AS INT) AS hamming "
+        "FROM h a JOIN h b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.hash64, b.hash64)) <= {HAM_T}"
+    )
+    return q, sql
+
+
+def _q_dedup_clusters():
+    """Duplicate-cluster resolution (connected components over the exact
+    jaccard near-dup pairs): engine = iterative min-label propagation;
+    oracle = recursive-CTE transitive closure. Verifies pairs actually
+    resolve into keeper sets."""
+    from ..operators import dedup
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        pairs = dedup.ngram_jaccard_pairs(
+            tables.load(spark, sf, "documents"), threshold=JACCARD_T
+        )
+        return dedup.dedup_clusters(pairs)
+
+    # reuse the jaccard oracle as the edge set
+    _, jac_sql = _q_ngram_jaccard()
+    sql = (
+        f"WITH jac AS ({jac_sql}), "
+        "edges AS (SELECT d1 AS a, d2 AS b FROM jac UNION SELECT d2, d1 FROM jac), "
+        "nodes AS (SELECT DISTINCT a FROM edges), "
+        "reach AS (WITH RECURSIVE r(a, b) AS ("
+        "SELECT a, b FROM edges UNION "
+        "SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a) SELECT * FROM r) "
+        "SELECT n.a AS doc_id, least(n.a, min(r.b)) AS cluster_id "
+        "FROM nodes n LEFT JOIN reach r ON n.a = r.a GROUP BY n.a"
+    )
+    return q, sql
+
+
+def _q_image_phash_dedup():
+    """Multimodal dedup end-to-end on the input_hint image table: generate
+    the deterministic image corpus, plant near-duplicates by LOSSY
+    re-encode (5-bit quantization, PSNR >= 40 dB), then phash-hamming
+    banded join + connected components. Rows-only (phash derives from the
+    numpy image pipeline, not SQL-expressible); fidelity + recovery pinned
+    by tests/test_images.py."""
+    from ..operators import images as imops
+    from ..sources import fixtures
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        src = fixtures.sensitive_images(spark, 120, seed=42)
+        near = imops.reencode(src, bits=5, suffix="_q")
+        return imops.image_dedup(src.unionByName(near), max_hamming=6).orderBy(
+            "image_id"
+        )
+
+    return q, None
+
+
+def _q_simhash_pairs():
+    """SimHash banded hamming near-dups; rows-only (simhash values are
+    engine-xxhash-specific), semantics pinned by tests/test_dedup.py."""
+    from ..operators import dedup
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.simhash_pairs(
+            tables.load(spark, sf, "documents"), max_hamming=8
+        )
+
+    return q, None
+
+
 def _q_minhash_lsh():
     """MinHash-LSH near-dups: engine sketch op; verified rows-only by the
     driver (sketches are engine-hash-specific), exactly vs ngram_jaccard in
@@ -652,6 +808,7 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["summarize_k"] = _q_summarize_k()
     reg["suppress"] = _q_suppress()
     reg["displacement_summary"] = _q_displacement_summary()
+    reg["displacement_segments"] = _q_displacement_segments()
     reg["central_drift"] = _q_central_drift()
     reg["nnd_delta"] = _q_nnd_delta()
     reg["pip_count"] = _q_pip_count()
@@ -663,4 +820,9 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["embed_cosine_nn"] = _q_cosine_nn()
     reg["dedup_minhash_lsh"] = _q_minhash_lsh()
     reg["doc_simhash"] = _q_simhash()
+    reg["doc_language"] = _q_doc_language()
+    reg["dedup_hamming"] = _q_dedup_hamming()
+    reg["dedup_clusters"] = _q_dedup_clusters()
+    reg["dedup_simhash_pairs"] = _q_simhash_pairs()
+    reg["image_phash_dedup"] = _q_image_phash_dedup()
     return reg

@@ -72,6 +72,53 @@ def test_simhash_hamming_close_for_neardups(docs):
     assert np.mean(rand) > 12  # unrelated docs are far
 
 
+def test_simhash_pairs_banded_join_is_exact_at_threshold(docs):
+    """The banded hamming join has NO false negatives (pigeonhole): it must
+    return exactly the pairs a brute-force hamming scan finds."""
+    t = 8
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    ids = sorted(sh)
+    want = {
+        (a, b, ham(sh[a], sh[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(sh[a], sh[b]) <= t
+    }
+    got = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in dedup.simhash_pairs(docs, max_hamming=t, bands=t + 1).collect()
+    }
+    assert got == want and len(got) >= 5  # exact dup + 4 planted
+
+
+def test_dedup_clusters_recovers_planted_components(spark):
+    """Chain A-B-C + pair D-E + isolated pair resolve to min-id clusters."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (3, 4)], "d1 long, d2 long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_language_id_profiles(spark):
+    import pandas as pd
+
+    rows = [
+        (0, "the cat sat on the mat and the dog is in the house"),
+        (1, "der hund ist nicht in das haus und die katze"),
+        (2, "le chat est dans la maison et les chiens pour le parc"),
+        (3, "el perro es una mascota con los gatos para la casa del pueblo"),
+        (4, "xyzzy plugh qwerty asdf"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r["language"] for r in dedup.language_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
+
+
 def test_cosine_nn_exact_vs_numpy(spark):
     rs = np.random.RandomState(6)
     vecs = rs.standard_normal((80, 16)).astype(np.float32)
@@ -100,3 +147,22 @@ def test_cosine_nn_lsh_recall(spark):
     approx = {r["vec_id"]: r["nn_id"] for r in dedup.cosine_nn_lsh(emb, planes=8, tables=6).collect()}
     hits = sum(1 for k in exact if approx.get(k) == exact[k])
     assert hits / len(exact) >= 0.8  # high recall on genuinely-near pairs
+
+
+def test_cosine_nn_lsh_high_dim(spark):
+    """Regression: hyperplanes ship as a broadcast plane table — at dim=512
+    the old inlined-literal rendering (~25k literals/expression) blew
+    Catalyst analysis. Recall contract still holds."""
+    rs = np.random.RandomState(9)
+    centers = rs.standard_normal((10, 512))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    idx = rs.randint(0, 10, 60)
+    # per-dim noise sigma scaled so the noise VECTOR stays small vs the
+    # unit center (0.002 * sqrt(512) ~ 0.045)
+    vecs = (centers[idx] + 0.002 * rs.standard_normal((60, 512))).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf).cache()
+    exact = {r["vec_id"]: r["nn_id"] for r in dedup.cosine_nn(emb).collect()}
+    approx = {r["vec_id"]: r["nn_id"] for r in dedup.cosine_nn_lsh(emb, planes=10, tables=6).collect()}
+    hits = sum(1 for k in exact if approx.get(k) == exact[k])
+    assert hits / len(exact) >= 0.8

@@ -50,6 +50,50 @@ def test_fixture_generation_deterministic(spark):
         assert imagecodec.average_hash(img) == r["phash"]
 
 
+def test_reencode_quantized_near_dup_detection(spark):
+    """The multimodal dedup path end-to-end: lossy re-encode (quantize to
+    5 bits, PSNR >= 40 dB) produces a perceptual near-duplicate that
+    image_dedup must cluster with its original, while distinct images stay
+    singletons."""
+    from maskmypy_spark.operators import images as imops
+
+    src = fixtures.sensitive_images(spark, 40, seed=42).cache()
+    req = imops.reencode(src, bits=5, suffix="_q").cache()
+    # fidelity invariant: decoded pixels within PSNR >= 40 dB of original
+    orig = {r["image_id"]: r for r in src.collect()}
+    for r in req.collect():
+        o = orig[r["image_id"][: -len("_q")]]
+        a = imagecodec.decode(bytes(o["bytes"]), o["fmt"])
+        b = imagecodec.decode(bytes(r["bytes"]), r["fmt"])
+        assert imagecodec.psnr(a, b) >= 40.0
+        assert r["caption"] == o["caption"]
+    both = src.unionByName(req)
+    dd = imops.image_dedup(both, max_hamming=6)
+    rows = {r["image_id"]: (r["cluster_id"], r["keep"]) for r in dd.collect()}
+    assert len(rows) == 80
+    paired = 0
+    for iid, o in orig.items():
+        cq, _ = rows[iid + "_q"]
+        c0, keep0 = rows[iid]
+        if cq == c0:
+            paired += 1
+    # 5-bit quantization moves a mean-threshold hash by at most a few bits;
+    # require the overwhelming majority of planted pairs recovered
+    assert paired >= 36
+
+
+def test_image_stats_batchwise(spark):
+    from maskmypy_spark.operators import images as imops
+
+    src = fixtures.sensitive_images(spark, 24, seed=42)
+    stats = {r["image_id"]: r for r in imops.image_stats(src).collect()}
+    for r in src.collect():
+        img = imagecodec.decode(bytes(r["bytes"]), r["fmt"]).astype(float)
+        s = stats[r["image_id"]]
+        assert abs(s["brightness"] - img.mean()) < 1e-9
+        assert abs(s["mean_g"] - img[:, :, 1].mean()) < 1e-9
+
+
 def test_mask_preserves_image_payload(spark):
     """Masks displace (x, y) only: bytes and captions must survive
     byte-identical, pixels allclose after decode (exact here — lossless)."""

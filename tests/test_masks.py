@@ -145,6 +145,21 @@ def test_locationswap_annulus(points, addresses):
     assert analysis.checksum(locationswap(points, 100.0, 600.0, addresses, seed=12)) != analysis.checksum(m)
 
 
+def test_snap_to_streets_kwarg(points, roads):
+    """Reference one-call ergonomics (masks/donut.py:82-83, voronoi.py:21):
+    snap_to_streets=True lands every masked point exactly on a node."""
+    nodes, _ = roads
+    node_set = {(round(r["nx"], 9), round(r["ny"], 9)) for r in nodes.collect()}
+    for masked in (
+        donut(points, 50.0, 300.0, seed=3, snap_to_streets=True, street_nodes=nodes),
+        voronoi(points, snap_to_streets=True, street_nodes=nodes),
+    ):
+        got = {(round(r["x"], 9), round(r["y"], 9)) for r in masked.collect()}
+        assert got <= node_set
+    with pytest.raises(ValueError):
+        donut(points, 50.0, 300.0, seed=3, snap_to_streets=True)
+
+
 def test_voronoi_midpoint_and_determinism(points):
     """Voronoi = bisector midpoint of nearest neighbor (SURVEY M5); fully
     deterministic without a seed (reference tests/test_atlas.py:206-210)."""
