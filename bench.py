@@ -15,8 +15,9 @@ verification wall-time):
   q_pipeline           mask -> k-verify -> k_satisfaction end-to-end
 
 Scaling evidence for the north rule (N vs 4N) is produced by
-BENCH/run_scaling.py, which runs this same workload at local[8] and
-local[32] and writes BENCH/BASELINE.md.
+BENCH/run_scaling.py, which runs this same workload at local[2], local[8]
+AND local[32] (both consecutive efficiencies published) and writes
+BENCH/BASELINE.md + BENCH/scaling.json.
 """
 
 from __future__ import annotations

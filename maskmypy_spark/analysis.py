@@ -138,6 +138,7 @@ def k_anonymity_address(
     max_radius: float | None = None,
     salt: int = 0,
     broadcast_addr: bool = False,
+    disp: DataFrame | None = None,
 ) -> DataFrame:
     """Address-based spatial k-anonymity (reference analysis.py:582-596):
     k = 1 + #addresses within the closed disk of radius = per-point
@@ -149,8 +150,15 @@ def k_anonymity_address(
 
     This is the flagship k-verification join of BASELINE.json: a cell-
     indexed distance join at the displacement cap + one count aggregate.
+
+    ``disp`` optionally reuses a precomputed displacement frame (a
+    DataFrame with a ``_distance`` column from :func:`displacement`) so
+    composite evaluations don't run the pid-join twice.
     """
-    cand = displacement(sensitive, candidate, key, x, y, col="_radius")
+    if disp is not None:
+        cand = disp.withColumnRenamed("_distance", "_radius")
+    else:
+        cand = displacement(sensitive, candidate, key, x, y, col="_radius")
     if max_radius is None:
         max_radius = cand.agg(F.max("_radius")).collect()[0][0] or 1.0
     pairs = distance_join(
@@ -475,7 +483,7 @@ def evaluate(
     each stat is a tiny agg job."""
     stats: dict = {}
     stats["central_drift"] = float(central_drift(sensitive, candidate, x, y).collect()[0][0])
-    disp = displacement(sensitive, candidate, key, x, y)
+    disp = displacement(sensitive, candidate, key, x, y).localCheckpoint(eager=True)
     stats.update(summarize_displacement(disp).collect()[0].asDict())
     stats.update(nnd_delta(sensitive, candidate, key, x, y).collect()[0].asDict())
     if not skip_slow:
@@ -491,7 +499,7 @@ def evaluate(
             )
         else:
             kdf = k_anonymity_address(
-                sensitive, candidate, pop, key, x, y, akey, ax, ay
+                sensitive, candidate, pop, key, x, y, akey, ax, ay, disp=disp
             )
         stats.update({k: (int(v) if k in ("k_min", "k_max") else float(v))
                       for k, v in summarize_k(kdf).collect()[0].asDict().items()})

@@ -138,8 +138,16 @@ def donut_cte(
 
 
 def swap_pick_key(pkey: str, akey: str) -> str:
-    """Combined 63-bit-safe key for the locationswap candidate pick."""
-    return f"((({pkey}) % {rng.M}) * 48271 + ({akey}) % {rng.M})"
+    """Combined 63-bit-safe key for the locationswap candidate pick: both
+    ids folded through both of the RNG's primes with distinct odd weights
+    (max value ~4.1e18 < 2^63). The earlier ``(p % M) * 48271 + a % M``
+    packing collided systematically for (p, a) vs (p+1, a-48271); the
+    two-prime weighting leaves only incidental collisions (no dense
+    family), matching the wide-fold guarantee of rng._t_expr."""
+    return (
+        f"((({pkey}) % {rng.P1}) * 998244353 + (({pkey}) % {rng.P2}) * 69119"
+        f" + (({akey}) % {rng.P1}) * 905035071 + (({akey}) % {rng.P2}) * 1000003)"
+    )
 
 
 def swap_u(pkey: str, akey: str, seed: int) -> str:

@@ -8,16 +8,24 @@ distributed engine needs a per-row stream that is independent of
 partitioning, task order, and cluster size (the replay contract of
 ``atlas.py:229-233``). We use a keyed quadratic-congruential hash:
 
-    t  = (key*A_KEY + C(seed, tag, draw)) mod M          (affine in key)
+    t  = ((key mod P1)*A_KEY + (key mod P2)*A_KEY2 + C(seed, tag, draw)) mod M
     h1 = (t*t + t*B1 + C1) mod M                         (quadratic)
     h2 = (h1*h1 + h1*B2 + C2) mod M                      (quartic)
     u  = h2 / M   in [0, 1)
 
-with M = 2^31. All intermediates stay < 2^63, so the same integer
-arithmetic is exact in numpy int64, Spark SQL BIGINT, and DuckDB BIGINT —
-the three renderers below produce bit-identical doubles. This makes every
-"random" mask a pure JVM column expression (whole-stage codegen, no UDF)
-AND gives every mask an exact DuckDB oracle twin.
+with M = 2^31 and P1, P2 distinct primes just below 2^31. The affine stage
+folds the key through BOTH primes, so two distinct 63-bit keys share a
+stream only when congruent mod lcm(P1, P2) ~ 2^62 — a single `key mod M`
+fold would collide every pair of keys 2^31 apart, a privacy-relevant
+correlation once BIGINT keys (orderkey*8+linenumber at the 100 TB target)
+exceed 2^31. All intermediates stay < 2^63 ((P1*A_KEY + P2*A_KEY2) + M <
+6.1e18), so the same integer arithmetic is exact in numpy int64, Spark SQL
+BIGINT, and DuckDB BIGINT — the three renderers below produce bit-identical
+doubles. This makes every "random" mask a pure JVM column expression
+(whole-stage codegen, no UDF) AND gives every mask an exact DuckDB oracle
+twin. (Bitwise mixing would be stronger still, but XOR/shift syntax is not
+portable between Spark SQL and DuckDB — `^` is POWER in DuckDB — and the
+shared-string property is what makes the oracles exact.)
 
 Statistical quality is that of a quadratic congruential generator — fully
 adequate for the reference's test contracts (bounds, ±10% means, seed
@@ -30,7 +38,10 @@ from __future__ import annotations
 import numpy as np
 
 M = 1 << 31  # modulus 2^31; all mixing is mod M
+P1 = 2_147_483_647  # 2^31 - 1 (prime); first key fold
+P2 = 2_147_483_629  # prime; second key fold
 A_KEY = 1_588_635_695
+A_KEY2 = 1_203_793_391
 A_SEED = 888_888_877
 A_TAG = 2_654_435_761
 A_DRAW = 40_503
@@ -64,6 +75,16 @@ def _const(tag: int, seed: int, draw: int) -> int:
     return ((seed % M) * A_SEED + (tag % M) * A_TAG + (draw % M) * A_DRAW + 1) % M
 
 
+def _t_expr(key: str, c: int, draw: str | None = None) -> str:
+    """Affine stage with the two-prime key fold; ``draw`` optionally adds a
+    SQL-expression draw counter (attempt column)."""
+    d = f" + (({draw}) % {M}) * {A_DRAW}" if draw is not None else ""
+    return (
+        f"(((({key}) % {P1}) * {A_KEY}"
+        f" + (({key}) % {P2}) * {A_KEY2}{d} + {c}) % {M})"
+    )
+
+
 def _mix_sql(t: str) -> str:
     h1 = f"(({t}) * ({t}) % {M} + ({t}) * {B1} % {M} + {C1}) % {M}"
     h2 = f"(({h1}) * ({h1}) % {M} + ({h1}) * {B2} % {M} + {C2}) % {M}"
@@ -82,15 +103,8 @@ def u_sql(key: str, tag: int, seed: int, draw: int | str = 0) -> str:
     folded constant, so int-draw and column-draw renderings are bit-equal.
     """
     if isinstance(draw, str):
-        c = _const(tag, seed, 0)
-        t = (
-            f"(((({key}) % {M}) * {A_KEY}"
-            f" + (({draw}) % {M}) * {A_DRAW} + {c}) % {M})"
-        )
-        return _mix_sql(t)
-    c = _const(tag, seed, draw)
-    t = f"(((({key}) % {M}) * {A_KEY} + {c}) % {M})"
-    return _mix_sql(t)
+        return _mix_sql(_t_expr(key, _const(tag, seed, 0), draw))
+    return _mix_sql(_t_expr(key, _const(tag, seed, draw)))
 
 
 def t_sql(key: str, tag: int, seed: int, draw: int | str = 0) -> str:
@@ -98,13 +112,8 @@ def t_sql(key: str, tag: int, seed: int, draw: int | str = 0) -> str:
     CTE column named e.g. ``t1``, then apply ``u_from_t_sql('t1')``.
     ``draw`` may be a SQL expression, as in ``u_sql``."""
     if isinstance(draw, str):
-        c = _const(tag, seed, 0)
-        return (
-            f"(((({key}) % {M}) * {A_KEY}"
-            f" + (({draw}) % {M}) * {A_DRAW} + {c}) % {M})"
-        )
-    c = _const(tag, seed, draw)
-    return f"(((({key}) % {M}) * {A_KEY} + {c}) % {M})"
+        return _t_expr(key, _const(tag, seed, 0), draw)
+    return _t_expr(key, _const(tag, seed, draw))
 
 
 def u_from_t_sql(t: str) -> str:
@@ -116,8 +125,7 @@ def h2_sql(key: str, tag: int, seed: int, draw: int = 0) -> str:
     """The INTEGER stage-2 hash h2 in [0, 2^31) as a SQL expression — the
     value ``u_sql`` divides by M. Used where downstream packing needs the
     raw 31-bit integer (pick keys, derived sketch inputs)."""
-    c = _const(tag, seed, draw)
-    t = f"(((({key}) % {M}) * {A_KEY} + {c}) % {M})"
+    t = _t_expr(key, _const(tag, seed, draw))
     h1 = f"(({t}) * ({t}) % {M} + ({t}) * {B1} % {M} + {C1}) % {M}"
     return f"((({h1}) * ({h1}) % {M} + ({h1}) * {B2} % {M} + {C2}) % {M})"
 
@@ -126,7 +134,7 @@ def u_np(key, tag: int, seed: int, draw: int = 0) -> np.ndarray:
     """numpy twin of the SQL renderers — bit-identical doubles."""
     key = np.asarray(key, dtype=np.int64)
     c = _const(tag, seed, draw)
-    t = ((key % M) * A_KEY + c) % M
+    t = ((key % P1) * A_KEY + (key % P2) * A_KEY2 + c) % M
     h1 = ((t * t) % M + (t * B1) % M + C1) % M
     h2 = ((h1 * h1) % M + (h1 * B2) % M + C2) % M
     return h2 / float(M)

@@ -82,11 +82,13 @@ def nearest_neighbor(
             )
         )
         done = best.where(F.col("nn_dist") <= F.lit(float(cs)))
-        resolved = remaining.join(done, key, "inner").localCheckpoint(eager=True)
-        parts.append(resolved)
-        remaining = remaining.join(done.select(key), key, "left_anti").localCheckpoint(
-            eager=True
-        )
+        # ONE join + ONE checkpoint per round: left-join the convergence
+        # marker, materialize, then split by filter on the materialized
+        # result (the earlier inner-join + anti-join formulation ran the
+        # same join twice and checkpointed twice).
+        marked = remaining.join(done, key, "left").localCheckpoint(eager=True)
+        parts.append(marked.where(F.col("nn_dist").isNotNull()))
+        remaining = marked.where(F.col("nn_dist").isNull()).select(*remaining.columns)
         if remaining.isEmpty():
             break
         cs *= 3.0

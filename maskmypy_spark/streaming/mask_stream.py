@@ -35,6 +35,92 @@ def mask_stream(
     return donut(stream, low, high, seed, distribution, key=key, x=x, y=y)
 
 
+def k_verify_stream(
+    stream: DataFrame,
+    address: DataFrame,
+    low: float,
+    high: float,
+    seed: int,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    key: str = "pid",
+    x: str = "x",
+    y: str = "y",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Streaming privacy verification: donut-mask arriving points, then
+    count addresses within each point's displacement disk via a
+    STREAM-STATIC cell join (static address side broadcast per micro-batch),
+    aggregated per event-time window with a watermark for late data. ONE
+    streaming aggregation (window + point) keeps the plan in append mode;
+    window-level k-satisfaction is a trivial batch query over the sink.
+
+    Returns (window, pid, k_anonymity)."""
+    from ..operators.distance_join import dist_sql, distance_join
+
+    # keep originals as payload columns so the displacement radius is a
+    # stateless projection (no stream-stream join anywhere)
+    pts = stream.select(key, x, y, ts).withColumn("_orig_x", F.col(x)).withColumn(
+        "_orig_y", F.col(y)
+    )
+    masked = donut(pts, low, high, seed, key=key, x=x, y=y)
+    masked = masked.withColumn("_radius", F.expr(dist_sql(x, y, "_orig_x", "_orig_y")))
+    pairs = distance_join(
+        masked.withWatermark(ts, watermark),
+        address,
+        radius=float(high),
+        lx=x, ly=y, rx="ax", ry="ay",
+        broadcast_right=True,
+    ).where(F.col("dist") <= F.col("_radius"))
+    return (
+        pairs.groupBy(F.window(F.col(ts), window).alias("window"), F.col(key))
+        .agg((F.count(F.lit(1)) + F.lit(1)).alias("k_anonymity"))
+    )
+
+
+def hot_cell_monitor(
+    stream: DataFrame,
+    cell_size: float = 500.0,
+    x: str = "x",
+    y: str = "y",
+    ts: str = "timestamp",
+    timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): running
+    per-cell point totals — the skew monitor that feeds hot-cell salting
+    decisions. State = one int per cell; emits (cell, total, batch_rows) on
+    every update; state expires after ``timeout_ms`` idle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions import cells
+
+    binned = stream.withColumn("_cell", F.expr(cells.cell_sql(x, y, cell_size)))
+
+    def update(key_tuple, pdfs, state: GroupState):
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        if state.exists:
+            (total,) = state.get
+        else:
+            total = 0
+        total += n_new
+        state.update((total,))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"cell": [key_tuple[0]], "total": [total], "batch_rows": [n_new]}
+        )
+
+    return binned.groupBy("_cell").applyInPandasWithState(
+        update,
+        outputStructType="cell long, total long, batch_rows long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def demo_stream(spark: SparkSession, low: float = 100.0, high: float = 500.0, seed: int = 42):
     """Rate-source demo: synthesize geotagged rows, mask them, return the
     streaming DataFrame (caller picks the sink)."""

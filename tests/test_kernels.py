@@ -25,6 +25,17 @@ def test_u_np_range_and_determinism():
     assert not np.array_equal(u, other_tag)
 
 
+def test_u_np_wide_key_fold():
+    """Keys differing by 2^31 (BIGINT keys at the 100 TB target) must NOT
+    share streams — the two-prime fold mixes the high bits (regression for
+    the single `% 2^31` fold, whose streams had period 2^31 in the key)."""
+    base = np.arange(1, 2001, dtype=np.int64)
+    for delta in (1 << 31, 1 << 32, (1 << 31) - 1, 7 << 40):
+        a = rng.u_np(base, rng.TAG_DONUT_R, seed=42)
+        b = rng.u_np(base + delta, rng.TAG_DONUT_R, seed=42)
+        assert (a != b).mean() > 0.999, f"stream collision at key delta {delta}"
+
+
 def test_u_np_uniformity():
     """Mean/variance/histogram sanity — matches the reference's statistical
     test tolerances (tests/masks/test_donut.py:10-25 uses ±10% of midpoint)."""

@@ -136,9 +136,11 @@ def test_locationswap_annulus(points, addresses):
     assert (swapped["_distance"] > 100.0).all()
     assert (swapped["_distance"] <= 600.0).all()
     assert (unmasked["_distance"] == 0.0).all()
-    # swap targets are actual address points
-    addr = {(round(r["ax"], 9), round(r["ay"], 9)) for r in addresses.collect()}
-    got = {(round(r["x"], 9), round(r["y"], 9)) for _, r in swapped.iterrows()}
+    # swap targets are actual address points (cast np.float64 -> float first:
+    # np.float64.__round__ scales-and-rints, Python round is correctly
+    # rounded — they disagree on decimal half-cases)
+    addr = {(float(r["ax"]), float(r["ay"])) for r in addresses.collect()}
+    got = {(float(r["x"]), float(r["y"])) for _, r in swapped.iterrows()}
     assert got <= addr
     # determinism
     assert analysis.checksum(locationswap(points, 100.0, 600.0, addresses, seed=11)) == analysis.checksum(m)

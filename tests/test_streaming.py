@@ -3,10 +3,15 @@ stream; results equal the batch mask row-for-row (exactly-once semantics
 follow from the keyed RNG)."""
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from maskmypy_spark.operators.donut import donut
 from maskmypy_spark.sources import fixtures
-from maskmypy_spark.streaming.mask_stream import mask_stream
+from maskmypy_spark.streaming.mask_stream import (
+    hot_cell_monitor,
+    k_verify_stream,
+    mask_stream,
+)
 
 
 def test_stream_equals_batch(spark, tmp_path):
@@ -34,3 +39,81 @@ def test_stream_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM masked_stream").collect()
     }
     assert got == batch
+
+
+def test_k_verify_stream_matches_batch(spark, tmp_path):
+    """Windowed streaming k equals the batch closed-disk k for the same
+    rows (stream-static join + watermark + one windowed aggregation)."""
+    from maskmypy_spark import analysis
+
+    pdf = fixtures.sensitive_points_pdf(150, seed=42)
+    pdf["timestamp"] = pd.Timestamp("2026-01-01 00:00:30")
+    src_dir = str(tmp_path / "src_k")
+    spark.createDataFrame(pdf).write.parquet(src_dir)
+    addr = spark.createDataFrame(fixtures.addresses_pdf(3000, seed=43)).cache()
+
+    stream = spark.readStream.schema(
+        "pid long, x double, y double, timestamp timestamp"
+    ).parquet(src_dir)
+    kdf = k_verify_stream(stream, addr, 50.0, 400.0, seed=9)
+    # update mode: emit current window aggregates each micro-batch (append
+    # would wait for the watermark to pass the window end, which a single
+    # availableNow batch never does)
+    q = (
+        kdf.writeStream.format("memory")
+        .queryName("k_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["pid"]: r["k_anonymity"] for r in spark.sql("SELECT * FROM k_stream").collect()
+    }
+
+    pts = spark.read.parquet(src_dir).select("pid", "x", "y")
+    m = donut(pts, 50.0, 400.0, seed=9)
+    want_df = analysis.k_anonymity_address(pts, m, addr, max_radius=400.0)
+    want = {r["pid"]: r["k_anonymity"] for r in want_df.collect()}
+    # points with k=1 (no address pairs) never enter the join output
+    want_joined = {k: v for k, v in want.items() if v > 1}
+    assert got == want_joined
+
+
+def test_hot_cell_monitor_stateful(spark, tmp_path):
+    """applyInPandasWithState accumulates per-cell totals across
+    micro-batches."""
+    pdf = fixtures.sensitive_points_pdf(200, seed=42)
+    pdf["timestamp"] = pd.Timestamp("2026-01-01 00:00:00")
+    src_dir = str(tmp_path / "src_hot")
+    spark.createDataFrame(pdf).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "pid long, x double, y double, timestamp timestamp"
+    ).parquet(src_dir)
+    mon = hot_cell_monitor(stream, cell_size=2000.0)
+    q = (
+        mon.writeStream.format("memory")
+        .queryName("hot_cells")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["cell"]: r["total"]
+        for r in spark.sql(
+            "SELECT cell, max(total) AS total FROM hot_cells GROUP BY cell"
+        ).collect()
+    }
+    from maskmypy_spark.functions import cells
+
+    want = {
+        r["_cell"]: r["n"]
+        for r in spark.read.parquet(src_dir)
+        .withColumn("_cell", F.expr(cells.cell_sql("x", "y", 2000.0)))
+        .groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
