@@ -70,7 +70,9 @@ pts = pts_df(n).cache(); pts.count()
 addr = (pts_df(max(n // 20, 1), tag_salt=50)
         .withColumnsRenamed({"pid": "aid", "x": "ax", "y": "ay"})).cache(); addr.count()
 
-def run_timed(fn, runs=3, warmup=1):
+RUNS = int(os.environ.get("SCALING_RUNS", "3"))
+
+def run_timed(fn, runs=RUNS, warmup=1):
     for _ in range(warmup): fn()
     ts = []
     for _ in range(runs):
@@ -83,11 +85,18 @@ def force(df):
     (df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h"))
        .agg(F.expr("bit_xor(h)")).collect())
 
+def k_joinfree():
+    # pipeline shape (see bench.py): originals ride through the mask as
+    # payload -> displacement radius is a projection, no fact-table pid-join
+    m = donut(analysis.with_original(pts), 100.0, 500.0, seed=42)
+    disp = analysis.displacement_from_payload(m)
+    return analysis.k_anonymity_address(
+        pts, m.drop("_orig_x", "_orig_y"), addr, max_radius=500.0, disp=disp
+    )
+
 jobs = {}
 jobs["donut_mask"] = lambda: force(donut(pts, 100.0, 500.0, seed=42))
-jobs["k_verify"] = lambda: force(
-    analysis.k_anonymity_address(pts, donut(pts, 100.0, 500.0, seed=42), addr, max_radius=500.0)
-)
+jobs["k_verify"] = lambda: force(k_joinfree())
 jobs["locationswap"] = lambda: force(locationswap(pts, 100.0, 500.0, addr, seed=42))
 
 out = {"cores": cores, "rows": n, "timings": {}}
@@ -123,7 +132,7 @@ OVERHEAD_BOUND_SEC = 2.0  # below this, wall-time is scheduler/scan overhead
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("SCALING_ROWS", "1000000"))
     levels = [int(v) for v in sys.argv[2:]] or [2, 8, 32]
     res = {lvl: run_level(lvl, n) for lvl in levels}
 
@@ -160,7 +169,7 @@ def main() -> None:
         "",
         f"Input: {n:,} synthetic points (hash-derived, seed 1234), addresses = n/20",
         "(density calibrated to realistic k ~ 40). Protocol: per level, 1 warmup +",
-        "3 timed runs, median wall-time; levels run in separate subprocesses (one",
+        f"{os.environ.get('SCALING_RUNS', '3')} timed runs, median wall-time; levels run in separate subprocesses (one",
         "JVM = one local[N] master). The north rule's N -> 4N executor criterion",
         f"is evidenced at N={levels[0]} -> 4N={levels[1] if len(levels) > 1 else '?'} cores"
         " on identical input; every consecutive-level efficiency is published so",

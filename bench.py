@@ -65,10 +65,20 @@ def build_jobs(spark, sf_dir):
         m = donut(pts, 100.0, 500.0, seed=42)
         return _force(m.select("pid", "x", "y"))
 
+    def _k_joinfree():
+        # pipeline shape: originals ride through the mask as payload, so
+        # the displacement radius is a projection — NO pid-join of the fact
+        # table (at 100 TB that join is a full-table shuffle; here it was
+        # ~40% of the job's wall-time). Values identical to the general
+        # displacement-join path (contract-verified).
+        m = donut(analysis.with_original(pts), 100.0, 500.0, seed=42)
+        disp = analysis.displacement_from_payload(m)
+        return analysis.k_anonymity_address(
+            pts, m.drop("_orig_x", "_orig_y"), addr, max_radius=500.0, disp=disp
+        )
+
     def q_k_verify(_=None):
-        m = donut(pts, 100.0, 500.0, seed=42)
-        k = analysis.k_anonymity_address(pts, m, addr, max_radius=500.0)
-        return _force(k.select("pid", "k_anonymity"))
+        return _force(_k_joinfree().select("pid", "k_anonymity"))
 
     def q_locationswap(_=None):
         m = locationswap(pts, 100.0, 500.0, addr, seed=42)
@@ -79,8 +89,7 @@ def build_jobs(spark, sf_dir):
         return _force(m)
 
     def q_pipeline(_=None):
-        m = donut(pts, 100.0, 500.0, seed=42)
-        k = analysis.k_anonymity_address(pts, m, addr, max_radius=500.0)
+        k = _k_joinfree()
         return float(analysis.k_satisfaction(k, 10).collect()[0][0])
 
     jobs = {

@@ -32,21 +32,41 @@ def displacement(
     """candidate + per-row distance to its original location
     (reference analysis.py:82-105; index alignment => equi-join on key).
 
-    The join is hinted shuffle-hash: at fact scale both sides are huge and
-    the shuffle is the natural plan anyway; at small scale it forces an
-    exchange that MATERIALIZES the candidate's (possibly giant) masked
-    coordinate expressions. Without the barrier, AQE broadcast-converts the
-    pid-join and the donut stage expressions inline into downstream join
-    CONDITIONS — which cannot be method-split, blowing janino's 64 KB
-    method limit and dropping the hottest join to interpreted mode."""
+    This is the GENERAL form (any two tables). When the caller masks and
+    verifies in ONE pipeline, prefer :func:`with_original` +
+    :func:`displacement_from_payload` — originals ride through the mask as
+    payload columns and the radius is a pure projection, skipping this
+    join entirely (a full-fact-table shuffle at the 100 TB target)."""
     s = sensitive.select(
         key, F.col(x).alias(SENS_PREFIX + x), F.col(y).alias(SENS_PREFIX + y)
     )
     return (
-        candidate.join(s.hint("shuffle_hash"), key)
+        candidate.join(s, key)
         .withColumn(col, F.expr(dist_sql(x, y, SENS_PREFIX + x, SENS_PREFIX + y)))
         .drop(SENS_PREFIX + x, SENS_PREFIX + y)
     )
+
+
+def with_original(
+    df: DataFrame, x: str = "x", y: str = "y",
+    ox: str = "_orig_x", oy: str = "_orig_y",
+) -> DataFrame:
+    """Copy the coordinates into payload columns BEFORE masking, so the
+    masked output still carries the originals (masks pass payload through
+    untouched) and displacement needs no join."""
+    return df.withColumn(ox, F.col(x)).withColumn(oy, F.col(y))
+
+
+def displacement_from_payload(
+    masked: DataFrame, x: str = "x", y: str = "y",
+    ox: str = "_orig_x", oy: str = "_orig_y",
+    col: str = "_distance", drop_original: bool = True,
+) -> DataFrame:
+    """Join-free displacement: per-row distance masked vs the original
+    coordinates carried as payload by :func:`with_original`. Identical
+    values to :func:`displacement`, zero shuffle."""
+    out = masked.withColumn(col, F.expr(dist_sql(x, y, ox, oy)))
+    return out.drop(ox, oy) if drop_original else out
 
 
 def summarize_displacement(df: DataFrame, col: str = "_distance") -> DataFrame:

@@ -213,9 +213,11 @@ class Atlas:
         ]
 
     def as_df(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
-            [json.dumps(r, default=str) for r in self.as_rows()], "string"
-        ).selectExpr("from_json(value, 'map<string,string>') AS r").selectExpr("r")
+        """Candidates as a TYPED DataFrame (reference atlas.py:365-372
+        returns a pandas frame): schema inferred from the JSON rows, so
+        numeric stats stay numeric and are directly sort/filterable."""
+        rows = [json.dumps(r, default=str) for r in self.as_rows()]
+        return spark.read.json(spark.sparkContext.parallelize(rows or ["{}"]))
 
     def to_json(self, path: str) -> None:
         with open(path, "w") as f:

@@ -81,6 +81,44 @@ def test_atlas_json_roundtrip_and_sort(points, addresses, tmp_path):
     assert len(re.candidates) == 1
 
 
+def test_atlas_as_df_typed(spark, points, addresses):
+    atlas = Atlas(points, population=addresses)
+    atlas.mask(donut, low=50.0, high=300.0, seed=8)
+    df = atlas.as_df(spark)
+    assert df.count() == 1
+    row = df.collect()[0].asDict()
+    assert row["mask"] == "donut"
+    # typed schema: numeric stats are numeric, not strings
+    assert isinstance(row["central_drift"], float)
+
+
+def test_evaluate_skip_slow_and_polygon_dispatch(spark, points):
+    """Reference evaluate parity (analysis.py:64-74): skip_slow=False adds
+    ripley_rmse; a polygon population dispatches to the disaggregation k."""
+    m = donut(points, 50.0, 300.0, seed=6)
+    fast = analysis.evaluate(points, m)
+    assert "ripley_rmse" not in fast
+    slow = analysis.evaluate(points, m, skip_slow=False)
+    assert isinstance(slow["ripley_rmse"], float) and slow["ripley_rmse"] >= 0.0
+
+    rect = 2000.0
+    rows = []
+    for ix in range(10):
+        for iy in range(5):
+            x0, y0 = ix * rect, iy * rect
+            ring = [
+                {"x": x0, "y": y0}, {"x": x0 + rect, "y": y0},
+                {"x": x0 + rect, "y": y0 + rect}, {"x": x0, "y": y0 + rect},
+            ]
+            rows.append((ix * 10 + iy, ring, 500.0))
+    polys = spark.createDataFrame(
+        rows, "poly_id long, ring array<struct<x:double,y:double>>, pop double"
+    )
+    stats = analysis.evaluate(points, m, population=polys)
+    assert stats["k_min"] >= 0 and stats["k_max"] >= stats["k_min"]
+    assert 0.0 <= stats["k_satisfaction_5"] <= 1.0
+
+
 def test_run_mask_manifest_and_resume(spark, points, tmp_path):
     out = str(tmp_path / "run1")
 

@@ -147,6 +147,23 @@ def test_locationswap_annulus(points, addresses):
     assert analysis.checksum(locationswap(points, 100.0, 600.0, addresses, seed=12)) != analysis.checksum(m)
 
 
+def test_displacement_joinfree_equals_join(points):
+    """The pipeline-shape (payload originals, zero-shuffle) displacement is
+    value-identical to the general join-based displacement."""
+    m = donut(analysis.with_original(points), 50.0, 300.0, seed=4)
+    a = {
+        r["pid"]: r["_distance"]
+        for r in analysis.displacement_from_payload(m).select("pid", "_distance").collect()
+    }
+    b = {
+        r["pid"]: r["_distance"]
+        for r in analysis.displacement(
+            points, m.drop("_orig_x", "_orig_y")
+        ).select("pid", "_distance").collect()
+    }
+    assert a == b
+
+
 def test_snap_to_streets_kwarg(points, roads):
     """Reference one-call ergonomics (masks/donut.py:82-83, voronoi.py:21):
     snap_to_streets=True lands every masked point exactly on a node."""
