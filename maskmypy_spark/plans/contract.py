@@ -542,6 +542,79 @@ def _q_ripleys_k():
     return q, sql
 
 
+def _q_cell_pyramid():
+    """Multi-resolution density pyramid (hypertable-rollup analogue): the
+    oracle states each level directly from the fact table; the engine
+    computes level 0 once and rolls parents up from children — identical
+    results, L-1 fewer fact scans."""
+    from ..operators.rollup import cell_pyramid
+
+    CS, LEVELS = 1250.0, 4
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return cell_pyramid(_sens(spark, sf), cs=CS, levels=LEVELS)
+
+    from ..functions import cells as _cells
+
+    per_level = " UNION ALL ".join(
+        f"SELECT {lvl} AS level, {_cells.cell_sql('x', 'y', CS * (2 ** lvl))} AS cell, "
+        "count(*) AS n FROM pts GROUP BY 2"
+        for lvl in range(LEVELS)
+    )
+    sql = f"WITH pts AS ({PTS}) SELECT * FROM ({per_level})"
+    return q, sql
+
+
+# ------------------------------------------------------- event analytics ---
+
+def _q_events_windowed():
+    from ..operators import events as ev
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return ev.windowed_counts(tables.load(spark, sf, "events"))
+
+    sql = (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "count(*) AS n_events, round(sum(value), 6) AS value_sum "
+        "FROM events GROUP BY 1, 2"
+    )
+    return q, sql
+
+
+def _q_events_sessionize():
+    from ..operators import events as ev
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return ev.sessionize(tables.load(spark, sf, "events"))
+
+    # gaps in integer MICROSECONDS (exact BIGINT on both engines; a double
+    # epoch would round past 2^53 and could flip boundary comparisons)
+    sql = (
+        "WITH g AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
+        "THEN 1 ELSE 0 END AS new_s FROM events), "
+        "s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session FROM g), "
+        "ps AS (SELECT user_id, session, count(*) AS n FROM s GROUP BY 1, 2) "
+        "SELECT user_id, CAST(max(session) AS BIGINT) AS n_sessions, "
+        "max(n) AS max_session_events FROM ps GROUP BY user_id"
+    )
+    return q, sql
+
+
+def _q_events_props():
+    from ..operators import events as ev
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return ev.extract_props(tables.load(spark, sf, "events"))
+
+    sql = "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"
+    return q, sql
+
+
 # ------------------------------------- training-data pipeline (docs/emb) ---
 
 def _q_doc_tokens():
@@ -813,6 +886,10 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["nnd_delta"] = _q_nnd_delta()
     reg["pip_count"] = _q_pip_count()
     reg["ripleys_k"] = _q_ripleys_k()
+    reg["cell_pyramid"] = _q_cell_pyramid()
+    reg["events_windowed"] = _q_events_windowed()
+    reg["events_sessionize"] = _q_events_sessionize()
+    reg["events_json_props"] = _q_events_props()
     reg["doc_token_count"] = _q_doc_tokens()
     reg["doc_quality"] = _q_doc_quality()
     reg["dedup_exact"] = _q_dedup_exact()
