@@ -403,6 +403,130 @@ def cosine_nn(
     )
 
 
+def ivf_cosine_nn(
+    emb: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    lloyd_iters: int = 3,
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate NN via an IVF (inverted-file) index — the second scale
+    path next to hyperplane LSH: deterministic hash-sampled seed centroids,
+    a few Lloyd iterations run as DataFrame aggregations (assign = broadcast
+    centroid join + packed argmax; update = groupBy avg), then each vector
+    probes its ``n_probe`` nearest centroid lists and scores candidates
+    exactly. Candidate volume ~ n * (n_probe / n_centroids) * n instead of
+    n² — and unlike LSH, recall degrades gracefully with cluster overlap.
+
+    Everything is JVM-side: dot products via ``zip_with``/``aggregate`` on
+    array columns, centroid tables broadcast (n_centroids rows). The Lloyd
+    loop is a driver loop of bounded, fixed length — each iteration is one
+    broadcast join + one aggregation over the fact table."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    e = emb.select(
+        F.col(key).alias("_id"),
+        F.expr(
+            # L2-normalize once: cosine == dot product afterwards
+            f"transform({vec}, v -> CAST(v AS DOUBLE) / "
+            f"sqrt(aggregate(zip_with({vec}, {vec}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)))"
+        ).alias("_v"),
+    ).cache()
+
+    # deterministic seed centroids: the n_centroids vectors with the
+    # smallest keyed hash (order- and partition-independent)
+    from ..functions.rng import u_sql
+
+    seeds = (
+        e.withColumn("_u", F.expr(u_sql("abs(xxhash64(_id))", 31, seed)))
+        .orderBy("_u", "_id")
+        .limit(n_centroids)
+        .select(F.monotonically_increasing_id().alias("_tmp"), "_v")
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r["_v"]]) for i, r in enumerate(seeds)]
+
+    DOT = (
+        "aggregate(zip_with(_v, _c, (p, q) -> p * q), CAST(0.0 AS DOUBLE), "
+        "(acc, z) -> acc + z)"
+    )
+    PACK = 1 << 32
+
+    def assign(cent_df, rank=1):
+        """(id[, _v], cid...) of each vector's `rank` nearest centroids."""
+        j = e.crossJoin(F.broadcast(cent_df)).withColumn("_dot", F.expr(DOT))
+        # pack (desc dot, asc cid): dot in [-1,1] rounded to 9 dp;
+        # (1e9 - dot9) in [0, 2e9], * 2^32 stays < 2^63
+        packed = j.select(
+            "_id",
+            "_cid",
+            (
+                (F.lit(1_000_000_000) - F.round(F.col("_dot") * 1_000_000_000, 0).cast("bigint"))
+                * F.lit(PACK) + F.col("_cid")
+            ).alias("_pk"),
+        )
+        if rank == 1:
+            best = packed.groupBy("_id").agg(F.min("_pk").alias("_pk"))
+            return best.select("_id", (F.col("_pk") % PACK).alias("_cid"))
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("_id").orderBy("_pk")
+        return (
+            packed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= rank)
+            .select("_id", "_cid")
+        )
+
+    cent_df = spark.createDataFrame(cents, "_cid int, _c array<double>")
+    for _ in range(lloyd_iters):
+        a = assign(F.broadcast(cent_df))
+        upd = (
+            e.join(a, "_id")
+            .select("_cid", F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_cid", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cid")
+            .agg(F.sort_array(F.collect_list(F.struct("_d", "_m"))).alias("_s"))
+            .select("_cid", F.expr("transform(_s, s -> s._m)").alias("_c"))
+        )
+        cent_df = upd
+
+    lists = assign(cent_df, rank=1)                 # vector -> its list
+    probes = assign(cent_df, rank=n_probe)          # vector -> probed lists
+    la = probes.select(F.col("_id").alias("id_a"), "_cid")
+    lb = lists.select(F.col("_id").alias("id_b"), "_cid")
+    cand = (
+        la.join(lb, "_cid")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    dot = "aggregate(zip_with(_va, _vb, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+    scored = (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos", F.round(F.expr(dot), 6))
+    )
+    packed = scored.select(
+        "id_a",
+        (
+            (F.lit(1_000_000) - F.round(F.col("cos") * 1_000_000, 0).cast("bigint")) * F.lit(PACK)
+            + F.col("id_b")
+        ).alias("_pk"),
+    )
+    best = packed.groupBy("id_a").agg(F.min("_pk").alias("_pk"))
+    return best.select(
+        F.col("id_a").alias(key),
+        (F.col("_pk") % PACK).alias("nn_id"),
+        ((F.lit(1_000_000) - F.expr(f"_pk DIV {PACK}")) / 1_000_000.0).alias("cos"),
+    )
+
+
 def cosine_nn_lsh(
     emb: DataFrame,
     key: str = "vec_id",

@@ -839,6 +839,20 @@ def _q_simhash_pairs():
     return q, None
 
 
+def _q_ivf_nn():
+    """IVF approximate NN over the embeddings table; rows-only (centroid
+    iteration is not set-SQL-expressible), recall + determinism pinned by
+    tests/test_dedup.py."""
+    from ..operators import dedup
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.ivf_cosine_nn(
+            tables.load(spark, sf, "embeddings"), n_centroids=16, n_probe=3
+        )
+
+    return q, None
+
+
 def _q_minhash_lsh():
     """MinHash-LSH near-dups: engine sketch op; verified rows-only by the
     driver (sketches are engine-hash-specific), exactly vs ngram_jaccard in
@@ -895,6 +909,7 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["dedup_exact"] = _q_dedup_exact()
     reg["dedup_ngram_jaccard"] = _q_ngram_jaccard()
     reg["embed_cosine_nn"] = _q_cosine_nn()
+    reg["embed_ivf_nn"] = _q_ivf_nn()
     reg["dedup_minhash_lsh"] = _q_minhash_lsh()
     reg["doc_simhash"] = _q_simhash()
     reg["doc_language"] = _q_doc_language()

@@ -149,6 +149,31 @@ def test_cosine_nn_lsh_recall(spark):
     assert hits / len(exact) >= 0.8  # high recall on genuinely-near pairs
 
 
+def test_ivf_cosine_nn_recall(spark):
+    """IVF index (hash-seeded centroids + Lloyd via DataFrame aggs +
+    n_probe candidate lists) recalls clustered neighbors like LSH does."""
+    rs = np.random.RandomState(12)
+    centers = rs.standard_normal((8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    idx = rs.randint(0, 8, 160)
+    vecs = (centers[idx] + 0.01 * rs.standard_normal((160, 32))).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(160), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf).cache()
+    exact = {r["vec_id"]: r["nn_id"] for r in dedup.cosine_nn(emb).collect()}
+    approx = {
+        r["vec_id"]: r["nn_id"]
+        for r in dedup.ivf_cosine_nn(emb, n_centroids=8, n_probe=2).collect()
+    }
+    hits = sum(1 for k in exact if approx.get(k) == exact[k])
+    assert hits / len(exact) >= 0.9
+    # determinism: same seed -> identical assignments
+    again = {
+        r["vec_id"]: r["nn_id"]
+        for r in dedup.ivf_cosine_nn(emb, n_centroids=8, n_probe=2).collect()
+    }
+    assert approx == again
+
+
 def test_cosine_nn_lsh_high_dim(spark):
     """Regression: hyperplanes ship as a broadcast plane table — at dim=512
     the old inlined-literal rendering (~25k literals/expression) blew

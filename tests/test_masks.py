@@ -147,6 +147,21 @@ def test_locationswap_annulus(points, addresses):
     assert analysis.checksum(locationswap(points, 100.0, 600.0, addresses, seed=12)) != analysis.checksum(m)
 
 
+def test_distance_join_salting_exact(points, addresses):
+    """Explicit hot-cell salting (the north rule's skew handling) must not
+    change results: salt=4 pair set == unsalted pair set."""
+    from maskmypy_spark.operators.distance_join import distance_join
+
+    def pairs(salt):
+        j = distance_join(
+            points.select("pid", "x", "y"), addresses.select("aid", "ax", "ay"),
+            radius=400.0, salt=salt,
+        )
+        return {(r["pid"], r["aid"]) for r in j.select("pid", "aid").collect()}
+
+    assert pairs(4) == pairs(0) and len(pairs(0)) > 0
+
+
 def test_displacement_joinfree_equals_join(points):
     """The pipeline-shape (payload originals, zero-shuffle) displacement is
     value-identical to the general join-based displacement."""
