@@ -112,6 +112,7 @@ class Atlas:
         measure_execution_time: bool = True,
         measure_peak_memory: bool = False,
         skip_slow_evaluators: bool = True,
+        keep_df: bool = True,
         **kwargs,
     ) -> DataFrame:
         """Run a mask, record lineage + stats. ``measure_peak_memory``
@@ -171,6 +172,10 @@ class Atlas:
         }
         if keep_candidate:
             self.candidates.append(candidate)
+        if keep_df:
+            # reference keep_gdf (atlas.py:172-175): store the masked layer
+            # under its checksum so gen_df/hydrate find it without re-runs
+            self.layers.setdefault(ck, masked)
         self._mask_registry = getattr(self, "_mask_registry", {})
         self._mask_registry[candidate["mask"]] = mask_func
         return masked

@@ -55,6 +55,44 @@ def test_parquet_scan_prunes_columns(spark):
         assert dropped not in seg
 
 
+def test_locationswap_pick_hash_aggregates(spark):
+    """The swap pick must plan as HashAggregate (map-side combining) — a
+    min(struct) formulation planned SortAggregate over the entire exploded
+    candidate set (the round-1 697s scale-killer)."""
+    from maskmypy_spark.operators.locationswap import locationswap
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(200, seed=42))
+    addr = spark.createDataFrame(fixtures.addresses_pdf(2000, seed=43))
+    plan = _plan(locationswap(pts, 100.0, 500.0, addr, seed=1))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_k_verify_pipeline_plan_quality(spark):
+    """The join-free pipeline k-verify: no pid-join of the fact table before
+    the annulus join, count aggregate hash-aggregates, zero Python."""
+    from maskmypy_spark import analysis
+    from maskmypy_spark.operators.donut import donut
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(200, seed=42))
+    addr = spark.createDataFrame(fixtures.addresses_pdf(2000, seed=43))
+    m = donut(analysis.with_original(pts), 100.0, 500.0, seed=42)
+    disp = analysis.displacement_from_payload(m)
+    k = analysis.k_anonymity_address(
+        pts, m.drop("_orig_x", "_orig_y"), addr, max_radius=500.0, disp=disp
+    )
+    plan = _plan(k.select("pid", "k_anonymity"))
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly TWO join operators: the annulus cell join + the left join
+    # giving absent points k=1 — and NO displacement pid-join of the fact
+    # table (simple mode prints each operator once)
+    simple = _plan(k.select("pid", "k_anonymity"), mode="simple")
+    n_joins = sum(1 for ln in simple.splitlines() if "Join" in ln)
+    assert n_joins <= 2, simple
+
+
 def test_mask_filter_pushdown_to_scan(spark):
     """A filter on the derived key pushes down to the parquet scan."""
     df = tables.sensitive_df(spark, "/root/testdata/sf0.001").where("pid <= 100")
