@@ -542,6 +542,69 @@ def _q_ripleys_k():
     return q, sql
 
 
+def _q_ripley_rmse():
+    """RMSE between the original and donut-masked Ripley K vectors
+    (reference analysis.py:339-368; the evaluate(skip_slow=False) stat)."""
+    steps, max_d = 10, 1000.0
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        sens = _sens(spark, sf)
+        m = donut(sens, LOW, HIGH, SEED, "uniform")
+        a = analysis.ripleys_k(sens, max_dist=max_d, min_dist=max_d / steps, steps=steps)
+        b = analysis.ripleys_k(m, max_dist=max_d, min_dist=max_d / steps, steps=steps)
+        rmse = analysis.ripley_rmse(a, b)
+        return spark.createDataFrame([(float(rmse),)], "ripley_rmse double")
+
+    def k_cte(src: str, alias: str) -> str:
+        support = [max_d / steps * (i + 1) for i in range(steps)]
+        counts = ", ".join(
+            f"sum(CASE WHEN dist <= {flit(d)} THEN 1 ELSE 0 END) AS _n{i}"
+            for i, d in enumerate(support)
+        )
+        unpivot = " UNION ALL ".join(
+            f"SELECT {i} AS band, _n{i} * s AS statistic FROM {alias}_w"
+            for i in range(steps)
+        )
+        return (
+            f"{alias}_bb AS (SELECT min(x) x0, max(x) x1, min(y) y0, max(y) y1, "
+            f"count(*) n FROM {src}), "
+            f"{alias}_sc AS (SELECT (x1 - x0) * (y1 - y0) / (n * (n - 1.0)) AS s FROM {alias}_bb), "
+            f"{alias}_p AS (SELECT {dist_sql('a.x', 'a.y', 'b.x', 'b.y')} AS dist "
+            f"FROM {src} a CROSS JOIN {src} b WHERE a.pid <> b.pid), "
+            f"{alias}_w AS (SELECT {counts}, any_value(sc.s) AS s FROM {alias}_p CROSS JOIN {alias}_sc sc), "
+            f"{alias}_k AS ({unpivot})"
+        )
+
+    sql = (
+        f"WITH {_masked_cte('uniform')}, "
+        "m2 AS (SELECT pid, mx AS x, my AS y FROM m), "
+        f"{k_cte('pts', 'ka')}, {k_cte('m2', 'kb')} "
+        "SELECT round(sqrt(avg((kb.statistic - ka.statistic) * (kb.statistic - ka.statistic))), 3) "
+        "AS ripley_rmse FROM ka_k ka JOIN kb_k kb ON ka.band = kb.band"
+    )
+    return q, sql
+
+
+def _q_crop():
+    """bbox crop with fractional padding (reference tools.py:150-162)."""
+    bbox = (2000.0, 1000.0, 12000.0, 6000.0)
+    pad = 0.1
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        c = analysis.crop(_sens(spark, sf), bbox, padding=pad)
+        return c.select("pid", F.round("x", 6).alias("cx"), F.round("y", 6).alias("cy"))
+
+    x0, y0, x1, y1 = bbox
+    px, py = (x1 - x0) * pad, (y1 - y0) * pad
+    sql = (
+        f"WITH pts AS ({PTS}) "
+        "SELECT pid, round(x, 6) AS cx, round(y, 6) AS cy FROM pts "
+        f"WHERE x >= {flit(x0 - px)} AND x <= {flit(x1 + px)} "
+        f"AND y >= {flit(y0 - py)} AND y <= {flit(y1 + py)}"
+    )
+    return q, sql
+
+
 def _q_cell_pyramid():
     """Multi-resolution density pyramid (hypertable-rollup analogue): the
     oracle states each level directly from the fact table; the engine
@@ -900,6 +963,8 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["nnd_delta"] = _q_nnd_delta()
     reg["pip_count"] = _q_pip_count()
     reg["ripleys_k"] = _q_ripleys_k()
+    reg["ripley_rmse"] = _q_ripley_rmse()
+    reg["crop"] = _q_crop()
     reg["cell_pyramid"] = _q_cell_pyramid()
     reg["events_windowed"] = _q_events_windowed()
     reg["events_sessionize"] = _q_events_sessionize()
