@@ -92,12 +92,27 @@ def build_jobs(spark, sf_dir):
         k = _k_joinfree()
         return float(analysis.k_satisfaction(k, 10).collect()[0][0])
 
+    def q_mask_20m(_=None):
+        # mask throughput free of fixed overhead (the sf-table jobs are
+        # scheduler/scan-bound at <1M rows): generate 20M rows JVM-side
+        # and mask them — the BASELINE.json "masked points/sec" figure
+        from maskmypy_spark.functions import rng as _rng
+
+        big = spark.range(1, 20_000_001, 1, 4 * par).selectExpr(
+            "id AS pid",
+            f"({_rng.u_sql('id', 101, 1234)}) * 2.0e4 AS x",
+            f"({_rng.u_sql('id', 102, 1234)}) * 1.0e4 AS y",
+        )
+        m = donut(big, 100.0, 500.0, seed=42)
+        return _force(m.select("pid", "x", "y"))
+
     jobs = {
         "q_donut_mask": q_donut_mask,
         "q_k_verify": q_k_verify,
         "q_locationswap": q_locationswap,
         "q_voronoi_nn": q_voronoi_nn,
         "q_pipeline": q_pipeline,
+        "q_mask_20m": q_mask_20m,
     }
     return jobs, n_rows
 
@@ -140,6 +155,7 @@ def main() -> None:
         "cpus": cpus,
         "throughput_rows_per_sec": round(n_rows / headline, 1) if headline else None,
         "mask_rows_per_sec": round(n_rows / timings["q_donut_mask"], 1),
+        "mask_20m_rows_per_sec": round(20_000_000 / timings["q_mask_20m"], 1),
     }
     print(json.dumps(out))
 

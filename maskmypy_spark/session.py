@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # dims up to 64 MB broadcast instead of shuffling the fact side —
+        # standard practice on executors with multi-GB memory; the default
+        # 10 MB left e.g. the per-point k-count table (right at the
+        # threshold) shuffling both sides of its left join.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow everywhere Python is unavoidable; bounded batches so
         # image-bytes batches fit executor memory (SURVEY §7 hard part 5).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
