@@ -49,6 +49,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow everywhere Python is unavoidable; bounded batches so
         # image-bytes batches fit executor memory (SURVEY §7 hard part 5).
+        # UTC session tz: Spark timestamps are session-tz, DuckDB's (the
+        # oracle) are UTC-naive — pin so timestamp-valued columns compare.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
