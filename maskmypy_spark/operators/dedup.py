@@ -22,11 +22,22 @@ def tokens_col(text: str = "text"):
     return F.split(F.trim(F.col(text)), TOKENIZE)
 
 
+# GPT-2-style pretokenizer shape, RE2-safe (no lookahead — DuckDB's regex
+# engine must accept the same pattern so the oracle stays exact):
+# contraction suffixes | letters | digits | punctuation runs | whitespace.
+BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def doc_tokens(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
-    """Token + char counts per document."""
+    """Token + char counts per document: whitespace tokens and a BPE-ish
+    regex pretoken count (the LLM-pipeline "how many tokens is this corpus"
+    estimator — a real tokenizer refines the same match stream)."""
     return df.select(
         key,
         F.size(tokens_col(text)).alias("n_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), F.lit(0))).alias(
+            "n_tokens_bpe"
+        ),
         F.length(text).alias("n_chars"),
     )
 
@@ -170,6 +181,49 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
+    )
+
+
+def fingerprint_winnow(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every word k-gram (rolling over the token stream), then keep the MIN
+    hash of each sliding window of ``window`` consecutive k-gram hashes —
+    the classic guarantee that any shared run of ``k + window - 1`` tokens
+    yields at least one shared fingerprint, with ~1/window selection rate.
+
+    Fully declarative: posexplode the k-grams, one Window min over
+    (doc, position), distinct. The hash is md5-derived (first 60 bits) so
+    the DuckDB oracle computes bit-identical fingerprints."""
+    from pyspark.sql.window import Window
+
+    idx = " || ' ' || ".join(f"_t[i + {j}]" for j in range(k))
+    grams = (
+        df.select(key, tokens_col(text).alias("_t"))
+        .where(F.size("_t") >= k)
+        .select(
+            key,
+            F.posexplode(
+                F.expr(f"transform(sequence(0, size(_t) - {k}), i -> {idx})")
+            ).alias("_pos", "_gram"),
+        )
+        .withColumn(
+            "_h",
+            F.expr("CAST(conv(substring(md5(_gram), 1, 15), 16, 10) AS BIGINT)"),
+        )
+    )
+    # trailing partial windows are kept (same on both engines): they only
+    # ever ADD suffix minima, preserving the shared-run guarantee
+    w = Window.partitionBy(key).orderBy("_pos").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("_fp", F.min("_h").over(w))
+        .select(key, F.col("_fp").alias("fingerprint"))
+        .distinct()
     )
 
 

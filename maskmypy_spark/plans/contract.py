@@ -686,9 +686,39 @@ def _q_doc_tokens():
     def q(spark: SparkSession, sf: str) -> DataFrame:
         return dedup.doc_tokens(tables.load(spark, sf, "documents"))
 
+    bpe = dedup_mod().BPE_ISH.replace("'", "''")
     sql = (
         "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens, "
+        f"CAST(len(regexp_extract_all(text, '{bpe}', 0)) AS INT) AS n_tokens_bpe, "
         "CAST(length(text) AS INT) AS n_chars FROM documents"
+    )
+    return q, sql
+
+
+def dedup_mod():
+    from ..operators import dedup
+
+    return dedup
+
+
+def _q_fingerprint():
+    """Winnowing rolling-hash fingerprints; md5-derived 60-bit hashes are
+    computable in both engines, so the oracle is exact."""
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup_mod().fingerprint_winnow(tables.load(spark, sf, "documents"))
+
+    k, window = 3, 4
+    idx = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    sql = (
+        "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+        f"grams AS (SELECT doc_id, i AS pos, {idx} AS gram "
+        f"FROM toks, UNNEST(generate_series(1, len(t) - {k - 1})) AS u(i) WHERE len(t) >= {k}), "
+        "hashed AS (SELECT doc_id, pos, "
+        "CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS h FROM grams), "
+        "fp AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fingerprint FROM hashed) "
+        "SELECT DISTINCT doc_id, fingerprint FROM fp"
     )
     return q, sql
 
@@ -972,6 +1002,7 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["doc_token_count"] = _q_doc_tokens()
     reg["doc_quality"] = _q_doc_quality()
     reg["dedup_exact"] = _q_dedup_exact()
+    reg["doc_fingerprint"] = _q_fingerprint()
     reg["dedup_ngram_jaccard"] = _q_ngram_jaccard()
     reg["embed_cosine_nn"] = _q_cosine_nn()
     reg["embed_ivf_nn"] = _q_ivf_nn()

@@ -104,6 +104,26 @@ def test_dedup_clusters_recovers_planted_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_fingerprint_winnow_shared_run_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a run of >= k + window - 1
+    tokens share at least one fingerprint; unrelated docs share none."""
+    import pandas as pd
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens >= 3+4-1=6
+    rows = [
+        (0, "intro words here " + shared + " tail one"),
+        (1, "completely different opening " + shared),
+        (2, "no overlap at all with anything else whatsoever in here"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    fp = dedup.fingerprint_winnow(df)
+    sets = {}
+    for r in fp.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert sets[0] & sets[1]
+    assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
+
+
 def test_language_id_profiles(spark):
     import pandas as pd
 
