@@ -919,6 +919,38 @@ def _q_image_phash_dedup():
     return q, None
 
 
+def _q_video_frame_stats():
+    """Video frame-sample -> image-stats handoff (multimodal pipeline);
+    rows-only (raw-frame synthesis + numpy codecs are not SQL), plumbing
+    pinned by tests/test_media.py."""
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        from ..operators import images as imops
+        from ..operators import media
+        from ..sources import fixtures
+
+        vids = fixtures.video_clips(spark, 60, seed=42)
+        frames = media.video_frame_sample(vids, every_n=2)
+        return imops.image_stats(frames).orderBy("image_id")
+
+    return q, None
+
+
+def _q_audio_stats():
+    """Audio resample -> stats (multimodal pipeline); rows-only."""
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        from ..operators import media
+        from ..sources import fixtures
+
+        clips = fixtures.audio_clips(spark, 100, seed=42)
+        return media.audio_stats(media.audio_resample(clips, 16000)).orderBy(
+            "audio_id"
+        )
+
+    return q, None
+
+
 def _q_simhash_pairs():
     """SimHash banded hamming near-dups; rows-only (simhash values are
     engine-xxhash-specific), semantics pinned by tests/test_dedup.py."""
@@ -1013,4 +1045,6 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["dedup_clusters"] = _q_dedup_clusters()
     reg["dedup_simhash_pairs"] = _q_simhash_pairs()
     reg["image_phash_dedup"] = _q_image_phash_dedup()
+    reg["video_frame_stats"] = _q_video_frame_stats()
+    reg["audio_stats"] = _q_audio_stats()
     return reg

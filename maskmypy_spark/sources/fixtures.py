@@ -124,6 +124,67 @@ def sensitive_images(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.range(0, n, 1, parts).mapInPandas(gen, schema=IMAGE_SCHEMA)
 
 
+def audio_clips(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic raw-PCM16 clips (hash-driven sine + noise) of varying
+    length/rate — the audio analogue of sensitive_images."""
+    from ..operators import media
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                sr = (8000, 16000, 22050)[i % 3]
+                n_s = 400 + int(rng.u_np(np.array([i]), 231, seed)[0] * 1200)
+                t = np.arange(n_s, dtype=np.float64)
+                freq = 100.0 + float(rng.u_np(np.array([i]), 232, seed)[0]) * 800.0
+                noise = (rng.u_np((t.astype(np.int64) * 131 + i) % (1 << 31), 233, seed) - 0.5) * 2000
+                x = 8000.0 * np.sin(2 * np.pi * freq * t / sr) + noise
+                rows.append(
+                    (f"aud{i:06d}", media.encode_audio(np.round(x), "pcm16"),
+                     sr, n_s, "pcm16", f"clip {i}")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["audio_id", "bytes", "sample_rate", "n_samples", "fmt", "caption"],
+            )
+
+    return spark.range(0, n, 1, max(4, n // 100 + 1)).mapInPandas(
+        gen, schema=media.AUDIO_SCHEMA
+    )
+
+
+def video_clips(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic raw-RGB clips: a handful of gradient frames per video."""
+    from ..operators import media
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 16, 12
+                n_f = 4 + i % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = np.stack(
+                    [((xx * 5 + yy * 3 + i * 7 + f * 11) % 256).astype(np.uint8)
+                     for f in range(n_f)]
+                )
+                rgb = np.stack([frames, (frames * 2) % 256, (frames * 3) % 256], axis=-1)
+                rows.append(
+                    (f"vid{i:06d}", rgb.astype(np.uint8).tobytes(), w, h,
+                     n_f, 10.0, "rawrgb", f"video {i}")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["video_id", "bytes", "w", "h", "n_frames", "fps", "fmt", "caption"],
+            )
+
+    return spark.range(0, n, 1, max(4, n // 100 + 1)).mapInPandas(
+        gen, schema=media.VIDEO_SCHEMA
+    )
+
+
 def sensitive_points_pdf(n: int, seed: int = 42) -> pd.DataFrame:
     """Driver-side small point fixture (no image payload)."""
     ids = np.arange(n, dtype=np.int64)
