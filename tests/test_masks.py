@@ -213,6 +213,73 @@ def test_voronoi_midpoint_and_determinism(points):
         assert mm.at[pid, "y"] == pytest.approx((py + ys[q]) / 2, abs=1e-9)
 
 
+def test_street_independent_oracle(spark, roads):
+    """End-to-end street-mask oracle: an INDEPENDENT pure-Python
+    re-derivation (brute-force NN snap, dict-based Dijkstra with cutoff
+    doubling, mean-distance pick, same documented tie-breaks) must produce
+    the exact coordinates the distributed operator emits."""
+    import heapq
+
+    from maskmypy_spark.functions import rng as _rng
+    from maskmypy_spark.sources import fixtures as _fx
+
+    nodes, edges = roads
+    npdf = nodes.toPandas()
+    epdf = edges.toPandas()
+    pts_pdf = _fx.sensitive_points_pdf(60, seed=42)
+    pts = spark.createDataFrame(pts_pdf)
+    LOW_N, HIGH_N, MAXLEN, SEED_S = 8, 14, 400.0, 77
+
+    masked = {
+        r["pid"]: (r["x"], r["y"])
+        for r in street(pts, LOW_N, HIGH_N, nodes, edges,
+                        max_length=MAXLEN, seed=SEED_S).collect()
+    }
+
+    # --- independent re-derivation (plain dicts, no CSR, no Spark) ---
+    coord = {int(r.node_id): (float(r.nx), float(r.ny)) for r in npdf.itertuples()}
+    adj: dict[int, list[tuple[int, float]]] = {}
+    valid = set()
+    for r in epdf.itertuples():
+        adj.setdefault(int(r.src), []).append((int(r.dst), float(r.length)))
+        if r.length <= MAXLEN:
+            valid.add(int(r.src)); valid.add(int(r.dst))
+
+    def dijkstra_pick(start: int, target: int) -> int:
+        cutoff, prev = MAXLEN, -1
+        while True:
+            dist: dict[int, float] = {}
+            heap = [(0.0, start)]
+            while heap:
+                d, u = heapq.heappop(heap)
+                if u in dist or d > cutoff:
+                    continue
+                dist[u] = d
+                for v, wgt in adj.get(u, []):
+                    if v not in dist and d + wgt <= cutoff:
+                        heapq.heappush(heap, (d + wgt, v))
+            if len(dist) >= target or len(dist) == prev:
+                break
+            prev = len(dist)
+            cutoff *= 2.0
+        take = min(target, len(dist))
+        items = sorted(dist.items(), key=lambda kv: (kv[1], kv[0]))[:take]
+        mean_d = sum(d for _, d in items) / take
+        return min(items, key=lambda kv: (abs(kv[1] - mean_d), kv[0]))[0]
+
+    import numpy as np2
+
+    for r in pts_pdf.itertuples():
+        # snap: nearest VALID node, ties by (distance, node_id)
+        best = min(
+            ((np2.hypot(coord[n][0] - r.x, coord[n][1] - r.y), n) for n in valid),
+        )
+        u = _rng.u_np(np2.array([int(r.pid)]), _rng.TAG_STREET_N, SEED_S)[0]
+        target = LOW_N + int(np2.floor(u * (HIGH_N - LOW_N)))
+        picked = dijkstra_pick(best[1], int(target))
+        assert masked[r.pid] == coord[picked], f"pid {r.pid}"
+
+
 def test_street_k_adaptive_loop(points, roads, addresses):
     """M4 (reference masks/street.py:82-192): escalating loop reaches a
     satisfying configuration, logs iterations, suppresses sub-k points."""
