@@ -211,44 +211,45 @@ def k_anonymity_polygon(
     branch (tools.py:165-169 raises instead of returning False — SURVEY §2.2
     A3); we expose it directly, like the reference's own tests do.
 
-    Polygons are a small broadcast dimension: rings are collected to the
-    driver once and shipped via ``sc.broadcast`` (torrent-distributed once
-    per executor — NOT serialized into every task closure); the exact clip
-    area runs vectorized over flat (pair, edge) arrays per Arrow batch.
-    """
+    FULLY DISTRIBUTED — no driver materialization anywhere: polygon bboxes,
+    shoelace areas, and the point-polygon candidate pairs are DataFrame
+    plans (bbox prefilter as a broadcast range join — Spark broadcasts the
+    polygon side itself, so a national census layer never passes through
+    the driver), and the exact circle-polygon clip UDF reads each ring's
+    vertices FROM THE JOINED ROW (Arrow list column), vectorized per
+    polygon group within each batch."""
     import numpy as np
     import pandas as pd
 
-    polys = polygons.select("poly_id", pop_col, "ring").collect()
-    rings = {
-        int(r["poly_id"]): (
-            np.array([p["x"] for p in r["ring"]], dtype=np.float64),
-            np.array([p["y"] for p in r["ring"]], dtype=np.float64),
-            float(r[pop_col]),
-        )
-        for r in polys
-    }
-    areas = {pid: abs(geometry.ring_area(rx, ry)) for pid, (rx, ry, _) in rings.items()}
-    bbox = [
-        (pid, float(rx.min()), float(ry.min()), float(rx.max()), float(ry.max()))
-        for pid, (rx, ry, _) in rings.items()
-    ]
-    spark = sensitive.sparkSession
-    bc = spark.sparkContext.broadcast((rings, areas))
-    bbox_df = F.broadcast(
-        spark.createDataFrame(bbox, ["poly_id", "_xmin", "_ymin", "_xmax", "_ymax"])
+    # polygon geometry as columns: bbox via array min/max, signed shoelace
+    # area via aggregate over the edge list — no collect, no closure state
+    shoelace = (
+        "abs(aggregate(transform(sequence(0, size(ring) - 1), i -> "
+        "ring[i].x * ring[(i + 1) % size(ring)].y "
+        "- ring[(i + 1) % size(ring)].x * ring[i].y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 2.0)"
+    )
+    polys = polygons.select(
+        "poly_id",
+        F.col(pop_col).alias("_pop"),
+        F.expr("transform(ring, p -> p.x)").alias("_rx"),
+        F.expr("transform(ring, p -> p.y)").alias("_ry"),
+        F.expr(shoelace).alias("_parea"),
+        F.expr("array_min(transform(ring, p -> p.x))").alias("_xmin"),
+        F.expr("array_min(transform(ring, p -> p.y))").alias("_ymin"),
+        F.expr("array_max(transform(ring, p -> p.x))").alias("_xmax"),
+        F.expr("array_max(transform(ring, p -> p.y))").alias("_ymax"),
     )
 
     cand = displacement(sensitive, candidate, key, x, y, col="_radius")
     px, py, pr = F.col(x), F.col(y), F.col("_radius")
     pairs = cand.select(key, x, y, "_radius").join(
-        bbox_df,
+        F.broadcast(polys),
         (px + pr >= F.col("_xmin")) & (px - pr <= F.col("_xmax"))
         & (py + pr >= F.col("_ymin")) & (py - pr <= F.col("_ymax")),
-    )
+    ).select(key, x, y, "_radius", "poly_id", "_pop", "_parea", "_rx", "_ry")
 
     def clip_batches(it):
-        rings_l, areas_l = bc.value
         for pdf in it:
             if len(pdf) == 0:
                 yield pd.DataFrame({key: [], "_pop_adj": []})
@@ -256,7 +257,10 @@ def k_anonymity_polygon(
             out = np.zeros(len(pdf), dtype=np.float64)
             for pid in pdf["poly_id"].unique():
                 m = (pdf["poly_id"] == pid).to_numpy()
-                rx, ry, pop = rings_l[int(pid)]
+                first = pdf.loc[m].iloc[0]
+                rx = np.asarray(first["_rx"], dtype=np.float64)
+                ry = np.asarray(first["_ry"], dtype=np.float64)
+                pop, parea = float(first["_pop"]), float(first["_parea"])
                 n_edges = len(rx)
                 cxs = pdf.loc[m, x].to_numpy()
                 cys = pdf.loc[m, y].to_numpy()
@@ -268,7 +272,7 @@ def k_anonymity_polygon(
                 rr = np.repeat(rs, n_edges)
                 contrib = geometry.circle_poly_edge_area(axr, ayr, bxr, byr, rr)
                 inter = np.abs(contrib.reshape(len(cxs), n_edges).sum(axis=1))
-                out[m] = pop * inter / areas_l[int(pid)]
+                out[m] = pop * inter / parea
             yield pd.DataFrame({key: pdf[key], "_pop_adj": out})
 
     adj = pairs.mapInPandas(clip_batches, schema=f"{key} long, _pop_adj double")
