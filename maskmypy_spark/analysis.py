@@ -202,6 +202,7 @@ def k_anonymity_polygon(
     key: str = "pid",
     x: str = "x",
     y: str = "y",
+    cell_size: float | None = None,
 ) -> DataFrame:
     """Population-based k estimation (reference analysis.py:563-579 +
     _disaggregate :524-539): k = floor(sum over intersected census polygons
@@ -213,13 +214,22 @@ def k_anonymity_polygon(
 
     FULLY DISTRIBUTED — no driver materialization anywhere: polygon bboxes,
     shoelace areas, and the point-polygon candidate pairs are DataFrame
-    plans (bbox prefilter as a broadcast range join — Spark broadcasts the
-    polygon side itself, so a national census layer never passes through
-    the driver), and the exact circle-polygon clip UDF reads each ring's
-    vertices FROM THE JOINED ROW (Arrow list column), vectorized per
-    polygon group within each batch."""
+    plans, and the exact circle-polygon clip UDF reads each ring's vertices
+    FROM THE JOINED ROW (Arrow list column), vectorized per polygon group
+    within each batch.
+
+    Pair prefilter has two plans:
+      * ``cell_size=None`` (default): broadcast bbox RANGE join — right for
+        city/regional layers that fit an executor broadcast.
+      * ``cell_size=<meters>``: cell-indexed EQUI-join — each polygon
+        explodes into the grid cells covering its bbox (expanded by the max
+        displacement radius), points join on their single cell. This is the
+        continent-scale path: both sides shuffle on the cell key, no
+        broadcast, AQE skew-splits hot cells."""
     import numpy as np
     import pandas as pd
+
+    from .functions import cells as _cells
 
     # polygon geometry as columns: bbox via array min/max, signed shoelace
     # area via aggregate over the edge list — no collect, no closure state
@@ -243,11 +253,37 @@ def k_anonymity_polygon(
 
     cand = displacement(sensitive, candidate, key, x, y, col="_radius")
     px, py, pr = F.col(x), F.col(y), F.col("_radius")
-    pairs = cand.select(key, x, y, "_radius").join(
-        F.broadcast(polys),
+    bbox_pred = (
         (px + pr >= F.col("_xmin")) & (px - pr <= F.col("_xmax"))
-        & (py + pr >= F.col("_ymin")) & (py - pr <= F.col("_ymax")),
-    ).select(key, x, y, "_radius", "poly_id", "_pop", "_parea", "_rx", "_ry")
+        & (py + pr >= F.col("_ymin")) & (py - pr <= F.col("_ymax"))
+    )
+    keep = [key, x, y, "_radius", "poly_id", "_pop", "_parea", "_rx", "_ry"]
+    if cell_size is None:
+        pairs = cand.select(key, x, y, "_radius").join(
+            F.broadcast(polys), bbox_pred
+        ).select(*keep)
+    else:
+        cs = float(cell_size)
+        r_max = cand.agg(F.max("_radius")).collect()[0][0] or 1.0
+        # polygons explode into every cell their (radius-expanded) bbox
+        # covers; points carry ONE cell — shuffle equi-join, no broadcast
+        cell_list = (
+            "flatten(transform("
+            f"sequence(CAST(floor((_xmin - {float(r_max)}) / {cs}) AS BIGINT), "
+            f"CAST(floor((_xmax + {float(r_max)}) / {cs}) AS BIGINT)), ix -> "
+            f"transform(sequence(CAST(floor((_ymin - {float(r_max)}) / {cs}) AS BIGINT), "
+            f"CAST(floor((_ymax + {float(r_max)}) / {cs}) AS BIGINT)), iy -> "
+            f"(ix + {_cells.CELL_OFF}) * {_cells.CELL_K} + iy + {_cells.CELL_OFF})))"
+        )
+        pt = cand.select(key, x, y, "_radius").withColumn(
+            "_cell", F.expr(_cells.cell_sql(x, y, cs))
+        )
+        pg = polys.withColumn("_cell", F.explode(F.expr(cell_list)))
+        pairs = (
+            pt.join(pg, "_cell")
+            .where(bbox_pred)
+            .select(*keep)
+        )
 
     def clip_batches(it):
         for pdf in it:

@@ -107,6 +107,35 @@ def test_polygon_k_goldens(spark):
     assert abs(expected - math.floor(1111 * math.pi / 4)) <= 2  # near reference value
 
 
+def test_polygon_k_cell_path_equals_broadcast_path(spark):
+    """The continent-scale cell-indexed equi-join prefilter must produce
+    identical k values to the broadcast bbox range join."""
+    from maskmypy_spark import analysis
+    from maskmypy_spark.operators.donut import donut
+    from maskmypy_spark.sources import fixtures
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(150, seed=42)).cache()
+    m = donut(pts, 50.0, 400.0, seed=5)
+    rect = 2500.0
+    rows = []
+    for ix in range(8):
+        for iy in range(4):
+            x0, y0 = ix * rect, iy * rect
+            ring = [
+                {"x": x0, "y": y0}, {"x": x0 + rect, "y": y0},
+                {"x": x0 + rect, "y": y0 + rect}, {"x": x0, "y": y0 + rect},
+            ]
+            rows.append((ix * 10 + iy, ring, 200.0 + ix * 5))
+    polys = spark.createDataFrame(
+        rows, "poly_id long, ring array<struct<x:double,y:double>>, pop double"
+    )
+    a = {r["pid"]: r["k_anonymity"]
+         for r in analysis.k_anonymity_polygon(pts, m, polys).collect()}
+    b = {r["pid"]: r["k_anonymity"]
+         for r in analysis.k_anonymity_polygon(pts, m, polys, cell_size=1000.0).collect()}
+    assert a == b and len(a) == 150
+
+
 def test_translation_goldens(spark):
     """reference test_analysis.py:28-35,129-133,163-169,187-197: a copy
     translated by (50, 0) has displacement min=max=med=mean=50, drift=50,
