@@ -542,6 +542,40 @@ def _q_ripleys_k():
     return q, sql
 
 
+def _q_mask_checksum():
+    """Order-insensitive content checksum of the masked table, cross-engine
+    exact (SURVEY A15's replay primitive): per-row hash from INTEGER-only
+    arithmetic (quantized coords folded through the engine's h2), xor-
+    aggregated with a row count — partitioning- and order-independent on
+    both engines, no string rendering anywhere."""
+    from ..functions.rng import h2_sql
+
+    rowkey = (
+        "(pid * 1000003 + CAST(round(mx * 1000000.0, 0) AS BIGINT) % 2147483648"
+        " + CAST(round(my * 1000000.0, 0) AS BIGINT) % 2147483648)"
+    )
+    rowhash = h2_sql(rowkey, 41, SEED)
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        m = donut(_sens(spark, sf), LOW, HIGH, SEED, "uniform")
+        h = m.select(
+            F.col("pid"),
+            F.col("x").alias("mx"),
+            F.col("y").alias("my"),
+        ).select(F.expr(rowhash).alias("_h"))
+        return h.agg(
+            F.expr("bit_xor(_h)").alias("checksum"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    sql = (
+        f"WITH {_masked_cte('uniform')}, "
+        f"h AS (SELECT {rowhash} AS _h FROM m) "
+        "SELECT bit_xor(_h) AS checksum, count(*) AS n_rows FROM h"
+    )
+    return q, sql
+
+
 def _q_ripley_rmse():
     """RMSE between the original and donut-masked Ripley K vectors
     (reference analysis.py:339-368; the evaluate(skip_slow=False) stat)."""
@@ -1026,6 +1060,7 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["pip_count"] = _q_pip_count()
     reg["ripleys_k"] = _q_ripleys_k()
     reg["ripley_rmse"] = _q_ripley_rmse()
+    reg["mask_checksum"] = _q_mask_checksum()
     reg["crop"] = _q_crop()
     reg["cell_pyramid"] = _q_cell_pyramid()
     reg["events_windowed"] = _q_events_windowed()
