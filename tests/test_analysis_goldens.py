@@ -196,3 +196,30 @@ def test_suppress_and_satisfaction(spark):
 
     ks = analysis.k_satisfaction_value(df, 3)
     assert ks == 0.5
+
+
+def test_svg_renderers(spark, tmp_path):
+    """A20 analogues (reference map_displacement / graph_ripleyresult):
+    dependency-free SVG output parses as XML and scales to the data."""
+    import xml.etree.ElementTree as ET
+
+    from maskmypy_spark import analysis
+    from maskmypy_spark.functions import viz
+    from maskmypy_spark.operators.donut import donut
+    from maskmypy_spark.sources import fixtures
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(120, seed=42))
+    m = donut(pts, 50.0, 400.0, seed=3)
+    seg = analysis.displacement(pts, m)
+    seg = m.join(
+        pts.selectExpr("pid", "x AS _s_x", "y AS _s_y"), "pid"
+    )
+    svg1 = viz.render_displacement_svg(seg, path=str(tmp_path / "disp.svg"))
+    root = ET.fromstring(svg1)
+    assert len(root) >= 1 + 2 * 120  # background + line+dot per point
+
+    r = analysis.ripleys_k(pts, max_dist=1000.0, steps=8, simulations=9, seed=4)
+    svg2 = viz.render_ripley_svg(r, path=str(tmp_path / "ripley.svg"))
+    root2 = ET.fromstring(svg2)
+    tags = {e.tag.split("}")[-1] for e in root2}
+    assert "polyline" in tags and "polygon" in tags  # curve + envelope
