@@ -80,6 +80,38 @@ def render_displacement_svg(
     return out
 
 
+def render_scatter_svg(
+    points: DataFrame,
+    path: str | None = None,
+    width: int = 800,
+    max_rows: int = 50000,
+    x: str = "x",
+    y: str = "y",
+    color: str = "#36c",
+) -> str:
+    """Point scatter (reference Atlas.scatter, atlas.py:374-393)."""
+    rows = points.select(x, y).limit(max_rows).collect()
+    if not rows:
+        return _svg(width, width // 2, [])
+    xs = [r[x] for r in rows]
+    ys = [r[y] for r in rows]
+    x0, x1, y0, y1 = min(xs), max(xs), min(ys), max(ys)
+    spanx, spany = max(x1 - x0, 1e-9), max(y1 - y0, 1e-9)
+    height = max(int(width * spany / spanx), 64)
+    pad = 10
+    body = [
+        f'<circle cx="{pad + (r[x] - x0) / spanx * (width - 2 * pad):.1f}" '
+        f'cy="{height - pad - (r[y] - y0) / spany * (height - 2 * pad):.1f}" '
+        f'r="1.2" fill="{color}" opacity="0.7"/>'
+        for r in rows
+    ]
+    out = _svg(width, height, body)
+    if path:
+        with open(path, "w") as f:
+            f.write(out)
+    return out
+
+
 def render_ripley_svg(
     result: DataFrame,
     path: str | None = None,

@@ -80,6 +80,52 @@ def test_k_verify_stream_matches_batch(spark, tmp_path):
     assert got == want_joined
 
 
+def test_stream_checkpoint_resume(spark, tmp_path):
+    """Checkpointed streaming resume: a restarted query with the same
+    checkpointLocation processes ONLY files that arrived while it was down
+    — no reprocessing (exactly-once over the file source), and the union of
+    both runs equals the batch mask of all data."""
+    src_dir = str(tmp_path / "src_cp")
+    cp_dir = str(tmp_path / "cp")
+    pdf1 = fixtures.sensitive_points_pdf(60, seed=42)
+    spark.createDataFrame(pdf1).write.mode("append").parquet(src_dir)
+
+    out_dir = str(tmp_path / "out_cp")
+
+    def run_once():
+        stream = spark.readStream.schema("pid long, x double, y double").parquet(src_dir)
+        masked = mask_stream(stream, 50.0, 300.0, seed=9)
+        q = (
+            masked.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["pid"]: (r["x"], r["y"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    first = run_once()
+    assert set(first) == set(pdf1["pid"])
+
+    pdf2 = fixtures.sensitive_points_pdf(100, seed=42).tail(40).copy()
+    pdf2["pid"] += 1000
+    spark.createDataFrame(pdf2).write.mode("append").parquet(src_dir)
+    cumulative = run_once()
+    # resume: exactly the old + new rows, none reprocessed/duplicated
+    assert set(cumulative) == set(pdf1["pid"]) | set(pdf2["pid"])
+
+    batch = {
+        r["pid"]: (r["x"], r["y"])
+        for r in donut(spark.read.parquet(src_dir), 50.0, 300.0, seed=9).collect()
+    }
+    assert cumulative == batch
+
+
 def test_hot_cell_monitor_stateful(spark, tmp_path):
     """applyInPandasWithState accumulates per-cell totals across
     micro-batches."""
