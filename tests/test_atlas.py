@@ -3,6 +3,7 @@ write/resume, street_k iteration checkpointing.
 Reference idioms: /root/reference/tests/test_atlas.py (SURVEY §5.7).
 """
 
+import io
 import json
 import os
 
@@ -135,6 +136,47 @@ def test_run_mask_manifest_and_resume(spark, points, tmp_path):
     m2, man2 = run_mask(spark, points, mask_fn, out)
     assert man2["resumed"]
     assert analysis.checksum(m2.drop("_pcell")) == man1["output_checksum"]
+
+
+def test_run_mask_image_table_retile_and_resume(spark, tmp_path):
+    """North-rule shape end-to-end: the geotagged IMAGE table is masked,
+    re-tiled by cell partition, written with lineage, and resumed — bytes
+    and captions byte-identical through the whole pipeline, and a tile
+    predicate prunes partitions at read time."""
+    from pyspark.sql import functions as F
+
+    from maskmypy_spark.sources import fixtures
+
+    src = fixtures.sensitive_images(spark, 80, seed=42).cache()
+    out = str(tmp_path / "img_run")
+
+    def mask_fn(df, **kw):
+        return donut(df, 50.0, 300.0, seed=13, key="pid")
+
+    mask_fn.__name__ = "donut_images"
+    m1, man1 = run_mask(spark, src, mask_fn, out)
+    assert man1["status"] == "complete" and man1["rows"] == 80
+    assert len(man1["partitions"]) > 1  # re-tiled
+    # payload fidelity through mask + write + read
+    orig = {r["pid"]: r for r in src.collect()}
+    for r in m1.collect():
+        o = orig[r["pid"]]
+        assert bytes(r["bytes"]) == bytes(o["bytes"])
+        assert r["caption"] == o["caption"] and r["phash"] == o["phash"]
+    # partition pruning: a _pcell predicate reads a strict subset of files
+    one_cell = m1.select("_pcell").first()["_pcell"]
+    plan_io = io.StringIO()
+    from contextlib import redirect_stdout
+
+    with redirect_stdout(plan_io):
+        spark.read.parquet(os.path.join(out, "data")).where(
+            F.col("_pcell") == one_cell
+        ).explain(mode="formatted")
+    plan = plan_io.getvalue()
+    assert "PartitionFilters" in plan and "_pcell" in plan.split("PartitionFilters")[1].split("\n")[0]
+    # resume is a no-op re-run
+    m2, man2 = run_mask(spark, src, mask_fn, out)
+    assert man2["resumed"]
 
 
 def test_iteration_log_checkpoints(tmp_path):
