@@ -320,3 +320,17 @@ def test_street_masks_to_nodes(points, roads, addresses):
     assert d2.mean() > d1.mean()
     # determinism
     assert analysis.checksum(street(points, 5, 10, nodes, edges, max_length=400.0, seed=3)) == analysis.checksum(m1)
+
+
+def test_mark_unmasked_idiom(spark, points):
+    """reference tests/test_tools.py:25-35: translated points -> UNMASKED=0,
+    untouched points -> UNMASKED=1 (our 1 means 'kept original')."""
+    moved = points.withColumn(
+        "x", F.when(F.col("pid") >= 5, F.col("x") + 1.0).otherwise(F.col("x"))
+    )
+    marked = analysis.mark_unmasked(points, moved)
+    got = {r["pid"]: r["UNMASKED"] for r in marked.collect()}
+    n = points.count()
+    assert all(got[p] == 0 for p in got if p >= 5)
+    assert all(got[p] == 1 for p in got if p < 5)
+    assert sum(got.values()) == 5
