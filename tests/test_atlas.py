@@ -82,6 +82,53 @@ def test_atlas_json_roundtrip_and_sort(points, addresses, tmp_path):
     assert len(re.candidates) == 1
 
 
+def test_atlas_reproduces_street_k_cross_session(spark, points, addresses, tmp_path):
+    """reference tests/test_atlas.py:62-79: a persisted atlas replays a
+    street_k candidate in a FRESH atlas (no registered callables) via
+    name resolution + layer rehydration, checksum-verified."""
+    from maskmypy_spark.operators.street import street_k
+    from maskmypy_spark.sources import fixtures
+
+    nodes = spark.createDataFrame(fixtures.road_nodes_pdf(spacing=300.0)).cache()
+    edges = spark.createDataFrame(
+        fixtures.road_edges_pdf(fixtures.road_nodes_pdf(spacing=300.0), spacing=300.0)
+    ).cache()
+    atlas = Atlas(points)
+    atlas.mask(
+        street_k, address=addresses, min_k=3, start=8, stop=60, spread=4,
+        suppression=0.6, max_length=400.0, seed=12345,
+        nodes=nodes, edges=edges, evaluate=False,
+    )
+    ck1 = atlas.candidates[0]["checksum"]
+    p = str(tmp_path / "atlas_sk.json")
+    atlas.to_json(p)
+    del atlas
+
+    atlas2 = Atlas.from_json(p, points)
+    atlas2.add_layers(addresses, nodes, edges)
+    replayed = atlas2.gen_df(idx=0)
+    assert analysis.checksum(replayed) == ck1
+
+
+def test_seed_not_injected_for_seedless_mask(spark, points):
+    """reference tests/test_atlas.py:206-210: voronoi takes no seed, so the
+    recorded kwargs must not contain one and replay must work."""
+    from maskmypy_spark.operators.voronoi import voronoi
+
+    atlas = Atlas(points)
+    atlas.mask(voronoi, evaluate=False)
+    assert "seed" not in atlas.candidates[0]["kwargs"]
+    atlas.gen_df(idx=0)
+
+
+def test_memory_and_speed_are_exclusive(points):
+    """reference tests/test_atlas.py:213-216."""
+    atlas = Atlas(points)
+    with pytest.raises(ValueError):
+        atlas.mask(donut, low=1.0, high=2.0, measure_peak_memory=True,
+                   measure_execution_time=True)
+
+
 def test_atlas_as_df_typed(spark, points, addresses):
     atlas = Atlas(points, population=addresses)
     atlas.mask(donut, low=50.0, high=300.0, seed=8)
