@@ -37,6 +37,92 @@ def estimate_cell_size(df: DataFrame, x: str = "x", y: str = "y") -> float:
     return math.sqrt(area / max(r.n, 1))
 
 
+def knn_join(
+    points: DataFrame,
+    others: DataFrame,
+    k: int,
+    key: str = "pid",
+    x: str = "x",
+    y: str = "y",
+    okey: str = "nn_id",
+    ox: str = "nn_x",
+    oy: str = "nn_y",
+    cs: float | None = None,
+    exclude_self: bool = False,
+    broadcast_others: bool = False,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Exact k-nearest-neighbors join (k rows per point, rank 1..k) by the
+    same ring-escalation proof as ``nearest_neighbor``: a point's top-k is
+    exact once its k-th best distance is <= the cell size (everything
+    within cs was examined — so all k are confirmed at once). Deterministic
+    ties by (dist, okey). Per-round top-k is a Window row_number bounded to
+    the 3x3 candidate neighborhood, never a global sort."""
+    from pyspark.sql.window import Window
+
+    if cs is None:
+        cs = estimate_cell_size(others, ox, oy)
+
+    d = F.expr(dist_sql(x, y, ox, oy))
+    parts: list[DataFrame] = []
+    remaining = points
+    for rnd in range(max_rounds + 1):
+        final_round = rnd == max_rounds
+        if final_round:
+            # brute-force the (tiny) unconverged residue
+            cand = remaining.crossJoin(
+                F.broadcast(others) if broadcast_others else others
+            )
+        else:
+            lcell = F.expr(cells.cell_sql(x, y, cs))
+            rcell = F.expr(cells.cell_sql(ox, oy, cs))
+            lt = remaining.withColumn(
+                "_cell",
+                F.explode(F.array(*[lcell + F.lit(o) for o in cells.ring_offsets(1)])),
+            )
+            rt = others.withColumn("_cell", rcell)
+            if broadcast_others:
+                rt = F.broadcast(rt)
+            cand = lt.join(rt, "_cell").drop("_cell")
+        if exclude_self:
+            cand = cand.where(F.col(okey) != F.col(key))
+        w = Window.partitionBy(key).orderBy("_d", okey)
+        topk = (
+            cand.withColumn("_d", d)
+            .withColumn("_rank", F.row_number().over(w))
+            .where(F.col("_rank") <= k)
+        )
+        if final_round:
+            parts.append(topk.select(
+                key, F.col(okey), F.col(ox), F.col(oy),
+                F.col("_d").alias("nn_dist"), F.col("_rank").alias("rank"),
+            ))
+            break
+        # converged iff the point HAS k candidates and its k-th dist <= cs
+        kth = topk.groupBy(key).agg(
+            F.max("_d").alias("_kd"), F.count(F.lit(1)).alias("_kn")
+        )
+        done_keys = kth.where(
+            (F.col("_kn") == k) & (F.col("_kd") <= F.lit(float(cs)))
+        ).select(key)
+        resolved = topk.join(done_keys, key, "left_semi").select(
+            key, F.col(okey), F.col(ox), F.col(oy),
+            F.col("_d").alias("nn_dist"), F.col("_rank").alias("rank"),
+        )
+        parts.append(resolved.localCheckpoint(eager=True))
+        remaining = remaining.join(done_keys, key, "left_anti").localCheckpoint(
+            eager=True
+        )
+        if remaining.isEmpty():
+            break
+        cs *= 3.0
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def nearest_neighbor(
     points: DataFrame,
     others: DataFrame,

@@ -542,6 +542,33 @@ def _q_ripleys_k():
     return q, sql
 
 
+def _q_knn_join():
+    """Exact k-NN join (k=3 nearest road nodes per point, ranked) — the
+    general multi-neighbor lookup behind snap/NND, oracle = cross join +
+    row_number."""
+    K = 3
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        from ..operators.knn import knn_join
+
+        out = knn_join(
+            _sens(spark, sf), tables.nodes_df(spark, sf),
+            k=K, okey="node_id", ox="nx", oy="ny", broadcast_others=True,
+        )
+        return out.select(
+            "pid", "node_id", "rank", F.round("nn_dist", 6).alias("dist")
+        )
+
+    sql = (
+        f"WITH pts AS ({PTS}), nodes AS ({NODES}), "
+        f"pairs AS (SELECT p.pid, n.node_id, "
+        f"{dist_sql('p.x', 'p.y', 'n.nx', 'n.ny')} AS d FROM pts p CROSS JOIN nodes n), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY d, node_id) AS rank FROM pairs) "
+        f"SELECT pid, node_id, CAST(rank AS INT) AS rank, round(d, 6) AS dist FROM r WHERE rank <= {K}"
+    )
+    return q, sql
+
+
 def _q_mask_checksum():
     """Order-insensitive content checksum of the masked table, cross-engine
     exact (SURVEY A15's replay primitive): per-row hash from INTEGER-only
@@ -1061,6 +1088,7 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["ripleys_k"] = _q_ripleys_k()
     reg["ripley_rmse"] = _q_ripley_rmse()
     reg["mask_checksum"] = _q_mask_checksum()
+    reg["knn_join_k3"] = _q_knn_join()
     reg["crop"] = _q_crop()
     reg["cell_pyramid"] = _q_cell_pyramid()
     reg["events_windowed"] = _q_events_windowed()
