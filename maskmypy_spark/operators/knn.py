@@ -16,9 +16,56 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ..functions import cells
 from .distance_join import dist_sql
+
+
+def _argmin(cand: DataFrame, d, key: str, okey: str, ox: str, oy: str) -> DataFrame:
+    """Exact per-key argmin over candidate pairs that plans as HashAggregate.
+
+    ``min(struct(_d, okey, ...))`` forces a SortAggregate over the ENTIRE
+    exploded candidate set (struct buffers are not hash-aggregable) — the
+    same anti-pattern that made round-1 locationswap 87x slower. Here the
+    winner's payload (ox, oy) is a double, so the locationswap packed-BIGINT
+    trick doesn't apply directly; instead: (1) hash-aggregate ``min(_d)``
+    per key (map-side partials), (2) equi-join back on (key, _d) — the
+    distance expression is evaluated identically on both sides, so the
+    doubles are bit-equal and the join is exact; Spark's ReuseExchange
+    dedupes the underlying cell-join shuffle between the two branches —
+    then (3) break the (rare, e.g. grid-symmetric) ties deterministically
+    by min okey with a row_number over the tiny tied set (~1 row/key),
+    never over the 9x candidate volume.
+    """
+    cand_d = cand.withColumn("_d", d).select(key, okey, ox, oy, "_d")
+    mind = cand_d.groupBy(key).agg(F.min("_d").alias("_d"))
+    tied = cand_d.join(mind, [key, "_d"])
+    w = Window.partitionBy(key).orderBy(okey)
+    return (
+        tied.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(key, okey, ox, oy, F.col("_d").alias("nn_dist"))
+    )
+
+
+def _salt_cell_join(lt, rt, x, y, salt, broadcast_others):
+    """Join the cell-tagged sides, optionally scattering hot cells: the
+    probe side hashes into ``salt`` sub-keys, the build side replicates
+    once per sub-key — one dense cluster (a city) then spreads over
+    ``salt`` reducers instead of one (north rule; same machinery as
+    distance_join.py). AQE skew-join remains the adaptive backstop."""
+    if salt > 1:
+        lt = lt.withColumn("_sk", (F.xxhash64(x, y) % salt + salt) % salt)
+        rt = rt.withColumn(
+            "_sk", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        on = ["_cell", "_sk"]
+    else:
+        on = ["_cell"]
+    if broadcast_others:
+        rt = F.broadcast(rt)
+    return lt.join(rt, on).drop(*on)
 
 
 def estimate_cell_size(df: DataFrame, x: str = "x", y: str = "y") -> float:
@@ -51,15 +98,15 @@ def knn_join(
     exclude_self: bool = False,
     broadcast_others: bool = False,
     max_rounds: int = 12,
+    salt: int = 0,
 ) -> DataFrame:
     """Exact k-nearest-neighbors join (k rows per point, rank 1..k) by the
     same ring-escalation proof as ``nearest_neighbor``: a point's top-k is
     exact once its k-th best distance is <= the cell size (everything
     within cs was examined — so all k are confirmed at once). Deterministic
     ties by (dist, okey). Per-round top-k is a Window row_number bounded to
-    the 3x3 candidate neighborhood, never a global sort."""
-    from pyspark.sql.window import Window
-
+    the 3x3 candidate neighborhood, never a global sort. ``salt`` scatters
+    hot cells across reducers (see ``_salt_cell_join``)."""
     if cs is None:
         cs = estimate_cell_size(others, ox, oy)
 
@@ -81,9 +128,7 @@ def knn_join(
                 F.explode(F.array(*[lcell + F.lit(o) for o in cells.ring_offsets(1)])),
             )
             rt = others.withColumn("_cell", rcell)
-            if broadcast_others:
-                rt = F.broadcast(rt)
-            cand = lt.join(rt, "_cell").drop("_cell")
+            cand = _salt_cell_join(lt, rt, x, y, salt, broadcast_others)
         if exclude_self:
             cand = cand.where(F.col(okey) != F.col(key))
         w = Window.partitionBy(key).orderBy("_d", okey)
@@ -136,11 +181,13 @@ def nearest_neighbor(
     exclude_self: bool = False,
     broadcast_others: bool = False,
     max_rounds: int = 12,
+    salt: int = 0,
 ) -> DataFrame:
     """points + (okey, ox, oy, nn_dist) of each point's exact nearest other.
 
     ``others`` must already carry columns (okey, ox, oy) disjoint from the
     point columns. ``exclude_self`` skips okey == key pairs (self-join mode).
+    ``salt`` scatters hot cells across reducers (see ``_salt_cell_join``).
     """
     if cs is None:
         cs = estimate_cell_size(others, ox, oy)
@@ -155,23 +202,10 @@ def nearest_neighbor(
             "_cell", F.explode(F.array(*[lcell + F.lit(o) for o in cells.ring_offsets(1)]))
         )
         rt = others.withColumn("_cell", rcell)
-        if broadcast_others:
-            rt = F.broadcast(rt)
-        cand = lt.join(rt, "_cell")
+        cand = _salt_cell_join(lt, rt, x, y, salt, broadcast_others)
         if exclude_self:
             cand = cand.where(F.col(okey) != F.col(key))
-        best = (
-            cand.withColumn("_d", d)
-            .groupBy(key)
-            .agg(F.min(F.struct("_d", okey, ox, oy)).alias("_best"))
-            .select(
-                key,
-                F.col(f"_best.{okey}").alias(okey),
-                F.col(f"_best.{ox}").alias(ox),
-                F.col(f"_best.{oy}").alias(oy),
-                F.col("_best._d").alias("nn_dist"),
-            )
-        )
+        best = _argmin(cand, d, key, okey, ox, oy)
         done = best.where(F.col("nn_dist") <= F.lit(float(cs)))
         # ONE join + ONE checkpoint per round: left-join the convergence
         # marker, materialize, then split by filter on the materialized
@@ -188,18 +222,7 @@ def nearest_neighbor(
         cand = remaining.crossJoin(F.broadcast(others) if broadcast_others else others)
         if exclude_self:
             cand = cand.where(F.col(okey) != F.col(key))
-        best = (
-            cand.withColumn("_d", d)
-            .groupBy(key)
-            .agg(F.min(F.struct("_d", okey, ox, oy)).alias("_best"))
-            .select(
-                key,
-                F.col(f"_best.{okey}").alias(okey),
-                F.col(f"_best.{ox}").alias(ox),
-                F.col(f"_best.{oy}").alias(oy),
-                F.col("_best._d").alias("nn_dist"),
-            )
-        )
+        best = _argmin(cand, d, key, okey, ox, oy)
         parts.append(remaining.join(best, key, "inner"))
 
     out = parts[0]

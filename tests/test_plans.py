@@ -69,6 +69,60 @@ def test_locationswap_pick_hash_aggregates(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_nearest_neighbor_argmin_hash_aggregates(spark, monkeypatch):
+    """The kNN argmin must plan as HashAggregate — min(struct) forced a
+    SortAggregate over the 9x exploded candidate set on the voronoi/snap/NND
+    hot paths (CLAUDE.md invariant; round-2 verdict item 1). localCheckpoint
+    is stubbed out so the per-round aggregate stays visible in the final
+    lineage (the real path materializes each round eagerly)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from maskmypy_spark.operators.snap import snap_to_nodes
+    from maskmypy_spark.operators.voronoi import voronoi
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, *a, **kw: self
+    )
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(200, seed=42))
+    plan = _plan(voronoi(pts, cs=1000.0))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    nodes = spark.createDataFrame(fixtures.road_nodes_pdf(500))
+    plan = _plan(snap_to_nodes(pts, nodes, cs=1000.0))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_nearest_neighbor_salted_join_shape(spark, monkeypatch):
+    """salt=4 must appear in the shuffle key (hot-cell scatter) and leave
+    results identical to the unsalted plan."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from maskmypy_spark.operators.knn import knn_join, nearest_neighbor
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, *a, **kw: self
+    )
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(300, seed=7))
+    # one dense cluster: all points mapped into a ~50m blob + sparse rest
+    dense = pts.selectExpr("pid", "x % 50 + 1000.0 AS x", "y % 50 + 1000.0 AS y")
+    others = dense.selectExpr("pid AS nn_id", "x AS nn_x", "y AS nn_y")
+    salted = nearest_neighbor(dense, others, cs=200.0, exclude_self=True, salt=4)
+    plain = nearest_neighbor(dense, others, cs=200.0, exclude_self=True)
+    assert "_sk" in _plan(salted, mode="simple")
+    a = {tuple(r) for r in salted.select("pid", "nn_id", "nn_dist").collect()}
+    b = {tuple(r) for r in plain.select("pid", "nn_id", "nn_dist").collect()}
+    assert a == b
+    ks = knn_join(dense, others, k=2, cs=200.0, exclude_self=True, salt=4)
+    kp = knn_join(dense, others, k=2, cs=200.0, exclude_self=True)
+    a = {tuple(r) for r in ks.select("pid", "nn_id", "rank").collect()}
+    b = {tuple(r) for r in kp.select("pid", "nn_id", "rank").collect()}
+    assert a == b
+
+
 def test_k_verify_pipeline_plan_quality(spark):
     """The join-free pipeline k-verify: no pid-join of the fact table before
     the annulus join, count aggregate hash-aggregates, zero Python."""
