@@ -22,30 +22,41 @@ from ..functions import cells
 from .distance_join import dist_sql
 
 
-def _argmin(cand: DataFrame, d, key: str, okey: str, ox: str, oy: str) -> DataFrame:
-    """Exact per-key argmin over candidate pairs that plans as HashAggregate.
+_PACK = 1 << 32
+
+
+def _argmin_pick(cand: DataFrame, d, key: str, okey: str, max_d: float) -> DataFrame:
+    """Per-key argmin over candidate pairs as ONE packed-BIGINT HashAggregate
+    (the locationswap pick pattern, locationswap.py:87-97).
 
     ``min(struct(_d, okey, ...))`` forces a SortAggregate over the ENTIRE
     exploded candidate set (struct buffers are not hash-aggregable) — the
-    same anti-pattern that made round-1 locationswap 87x slower. Here the
-    winner's payload (ox, oy) is a double, so the locationswap packed-BIGINT
-    trick doesn't apply directly; instead: (1) hash-aggregate ``min(_d)``
-    per key (map-side partials), (2) equi-join back on (key, _d) — the
-    distance expression is evaluated identically on both sides, so the
-    doubles are bit-equal and the join is exact; Spark's ReuseExchange
-    dedupes the underlying cell-join shuffle between the two branches —
-    then (3) break the (rare, e.g. grid-symmetric) ties deterministically
-    by min okey with a row_number over the tiny tied set (~1 row/key),
-    never over the 9x candidate volume.
+    round-1 locationswap scale-killer; and a two-pass min+join-back re-
+    shuffles the 9x candidate volume twice (measured 1.5x slower than the
+    SortAggregate at bench scale). Instead pack ``floor(_d * S) * 2^32 +
+    okey`` into one BIGINT with ``S = (2^31 - 1) / max_d`` where ``max_d``
+    bounds every candidate distance this round (3*cs covers the 3x3 cell
+    neighborhood: the farthest corner-to-corner pair is 2*sqrt(2)*cs).
+    ``min(BIGINT)`` hash-aggregates with map-side partials, no sort
+    anywhere; ties in the quantized distance break deterministically by min
+    okey. Distance granularity is max_d / 2^31 (~1.4e-9 relative — sub-
+    micrometer at any geographic cell size), below which two DISTINCT
+    candidate distances tie; exact double ties quantize equal on both
+    engines, so the (d, okey) oracle order is reproduced for any physically
+    distinguishable data. Preconditions (as locationswap): 0 <= okey < 2^32
+    (re-key wider ids before calling).
+
+    Returns (key, okey) of the winner; the caller joins the (small)
+    neighbor dimension to recover coordinates and recomputes the exact
+    distance — ``nn_dist`` is never quantized.
     """
-    cand_d = cand.withColumn("_d", d).select(key, okey, ox, oy, "_d")
-    mind = cand_d.groupBy(key).agg(F.min("_d").alias("_d"))
-    tied = cand_d.join(mind, [key, "_d"])
-    w = Window.partitionBy(key).orderBy(okey)
+    s = float((_PACK // 2 - 1) / max_d)
+    q = F.floor(d * F.lit(s)).cast("long")
     return (
-        tied.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(key, okey, ox, oy, F.col("_d").alias("nn_dist"))
+        cand.withColumn("_pk", q * F.lit(_PACK) + F.col(okey))
+        .groupBy(key)
+        .agg(F.min("_pk").alias("_pk"))
+        .select(key, (F.col("_pk") % F.lit(_PACK)).alias(okey))
     )
 
 
@@ -205,25 +216,46 @@ def nearest_neighbor(
         cand = _salt_cell_join(lt, rt, x, y, salt, broadcast_others)
         if exclude_self:
             cand = cand.where(F.col(okey) != F.col(key))
-        best = _argmin(cand, d, key, okey, ox, oy)
-        done = best.where(F.col("nn_dist") <= F.lit(float(cs)))
-        # ONE join + ONE checkpoint per round: left-join the convergence
-        # marker, materialize, then split by filter on the materialized
-        # result (the earlier inner-join + anti-join formulation ran the
-        # same join twice and checkpointed twice).
-        marked = remaining.join(done, key, "left").localCheckpoint(eager=True)
-        parts.append(marked.where(F.col("nn_dist").isNotNull()))
-        remaining = marked.where(F.col("nn_dist").isNull()).select(*remaining.columns)
+        # candidate distance this round is < 3*cs (3x3 neighborhood bound)
+        pick = _argmin_pick(cand, d, key, okey, 3.0 * cs)
+        picked = pick.join(others.select(okey, ox, oy), okey)
+        # ONE join + ONE checkpoint per round: left-join the winner (with
+        # coordinates), recompute the EXACT distance on the joined row
+        # (null when no candidate), materialize, then split by filter on
+        # the materialized result.
+        marked = (
+            remaining.join(picked, key, "left")
+            .withColumn("nn_dist", d)
+            .localCheckpoint(eager=True)
+        )
+        conv = F.col("nn_dist").isNotNull() & (F.col("nn_dist") <= F.lit(float(cs)))
+        parts.append(marked.where(conv))
+        remaining = marked.where(
+            F.col("nn_dist").isNull() | (F.col("nn_dist") > F.lit(float(cs)))
+        ).select(*remaining.columns)
         if remaining.isEmpty():
             break
         cs *= 3.0
     else:
-        # Termination fallback: brute-force the (tiny) residue.
+        # Termination fallback: brute-force the (tiny) residue; the pack
+        # scale must bound ALL pair distances, so take the union-bbox
+        # diagonal (two scalar aggregates over the residue + the dimension).
+        rb = remaining.agg(
+            F.min(x), F.max(x), F.min(y), F.max(y)
+        ).first()
+        ob = others.agg(F.min(ox), F.max(ox), F.min(oy), F.max(oy)).first()
+        diag = math.hypot(
+            max(rb[1], ob[1]) - min(rb[0], ob[0]),
+            max(rb[3], ob[3]) - min(rb[2], ob[2]),
+        ) + 1.0
         cand = remaining.crossJoin(F.broadcast(others) if broadcast_others else others)
         if exclude_self:
             cand = cand.where(F.col(okey) != F.col(key))
-        best = _argmin(cand, d, key, okey, ox, oy)
-        parts.append(remaining.join(best, key, "inner"))
+        pick = _argmin_pick(cand, d, key, okey, diag)
+        picked = pick.join(others.select(okey, ox, oy), okey)
+        parts.append(
+            remaining.join(picked, key, "inner").withColumn("nn_dist", d)
+        )
 
     out = parts[0]
     for p in parts[1:]:
