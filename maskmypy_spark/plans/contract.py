@@ -13,6 +13,7 @@ precision) before the driver hashes values.
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache as _lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -181,42 +182,177 @@ def _q_snap():
     return q, sql
 
 
+# Street contract parameters: spacing 600 keeps the baked pick table small
+# (~520 valid nodes x 10 targets); max_length must exceed the jittered edge
+# length (~600 +- 85) for any node to be snap-valid.
+_ST_SPACING = 600.0
+_ST_ML = 800.0
+_ST_LO, _ST_HI = 10, 20
+_ST_RSEED = 44  # fixtures.road_nodes_pdf default
+_ST_NX = int(20000.0 / _ST_SPACING)  # fixtures.BOX_W
+_ST_NY = int(10000.0 / _ST_SPACING)  # fixtures.BOX_H
+
+
 def _roads(spark: SparkSession):
     """Deterministic perturbed-grid road network (sources/fixtures.py §4) —
     the same fixture the pytest street oracles use."""
     from ..sources import fixtures
 
-    nodes = fixtures.road_nodes_pdf(spacing=300.0)
-    edges = fixtures.road_edges_pdf(nodes, spacing=300.0)
+    nodes = fixtures.road_nodes_pdf(spacing=_ST_SPACING)
+    edges = fixtures.road_edges_pdf(nodes, spacing=_ST_SPACING)
     return spark.createDataFrame(nodes), spark.createDataFrame(edges)
 
 
+@_lru_cache(maxsize=1)
+def _street_resolved() -> tuple[tuple[int, int, int], ...]:
+    """(node_id, target, picked_node_id) for every snap-valid node x target —
+    the ONLY non-closed-form piece of the street oracle (graph shortest
+    paths are not set-SQL in DuckDB 1.0; USING KEY recursion arrived later).
+
+    Independently re-derived from the road fixture with a dense Bellman-Ford
+    fixpoint (vs the engine's per-config cutoff-doubling heap Dijkstra,
+    operators/street.py:66-103): relaxation composes edge weights left-to-
+    right along the winning path exactly as Dijkstra's d + w does, so the
+    fixpoint doubles are bit-equal and the (|d - mean|, node_id) pick is
+    reproduced float-for-float. The engine's cutoff-doubling reachable-set
+    contract (including the component-exhaustion guard) is replayed on the
+    distance rows. The oracle string embedding this table is pinned by
+    tests/frozen_oracles.json against silent drift."""
+    import numpy as np
+
+    from ..sources import fixtures
+
+    nodes = fixtures.road_nodes_pdf(spacing=_ST_SPACING)
+    edges = fixtures.road_edges_pdf(nodes, spacing=_ST_SPACING)
+    ids = nodes["node_id"].to_numpy(np.int64)
+    n = len(ids)
+    remap = {int(v): i for i, v in enumerate(ids)}
+    src = np.fromiter((remap[int(v)] for v in edges["src"]), np.int64)
+    dst = np.fromiter((remap[int(v)] for v in edges["dst"]), np.int64)
+    w = edges["length"].to_numpy(np.float64)
+    valid = np.zeros(n, dtype=bool)
+    ok = w <= _ST_ML
+    valid[src[ok]] = True
+    valid[dst[ok]] = True
+
+    dmat = np.full((n, n), np.inf)
+    dmat[np.arange(n), np.arange(n)] = 0.0
+    changed = True
+    while changed:
+        changed = False
+        for s_, d_, w_ in zip(src, dst, w):
+            nd = dmat[:, s_] + w_
+            m = nd < dmat[:, d_]
+            if m.any():
+                dmat[m, d_] = nd[m]
+                changed = True
+
+    rows: list[tuple[int, int, int]] = []
+    for ui in np.where(valid)[0]:
+        du = dmat[ui]
+        for t in range(_ST_LO, _ST_HI):
+            cutoff, prev = _ST_ML, -1
+            while True:
+                c = int((du <= cutoff).sum())
+                if c >= t or c == prev:
+                    break
+                prev = c
+                cutoff *= 2.0
+            sel = np.where(du <= cutoff)[0]
+            order = sorted(sel, key=lambda v: (du[v], ids[v]))
+            take = order[: min(t, len(order))]
+            acc = 0.0
+            for v in take:
+                acc += du[v]
+            mean = acc / len(take)
+            best = min(take, key=lambda v: (abs(du[v] - mean), ids[v]))
+            rows.append((int(ids[ui]), t, int(ids[best])))
+    return tuple(rows)
+
+
+def _street_ctes(span: int = _ST_HI - _ST_LO) -> str:
+    """Closed-form CTEs reconstructing the road fixture in DuckDB SQL:
+    node coordinates and the keep-mask are the same hash-RNG formulas as
+    sources/fixtures.py:201-215 (bit-equal doubles), snap-validity is an
+    edge-existence predicate over the 4-neighbor grid, and the Dijkstra
+    picks come from the baked ``res`` VALUES (:func:`_street_resolved`)."""
+    from ..functions.rng import u_sql
+
+    sp, half = flit(_ST_SPACING), flit(_ST_SPACING / 2.0)
+    total = _ST_NX * _ST_NY
+    u_jx = u_sql("i", 221, _ST_RSEED)
+    u_jy = u_sql("i", 222, _ST_RSEED)
+    u_keep = u_sql("i", 223, _ST_RSEED)
+    res_vals = ", ".join(
+        f"({a},{t},{p})" for a, t, p in _street_resolved()
+    )
+    return (
+        f"grid AS (SELECT unnest(range(0, {total})) AS i), "
+        f"rn AS (SELECT i AS node_id, "
+        f"CAST(i % {_ST_NX} AS DOUBLE) * {sp} + {half} + ({u_jx} - {flit(0.5)}) * {flit(60.0)} AS nx, "
+        f"CAST(i // {_ST_NX} AS DOUBLE) * {sp} + {half} + ({u_jy} - {flit(0.5)}) * {flit(60.0)} AS ny "
+        f"FROM grid WHERE {u_keep} >= {flit(0.01)}), "
+        # 4-neighbor grid edges between surviving nodes (both directions via
+        # the UNION) with euclidean length, as road_edges_pdf builds them
+        f"nbr AS (SELECT a.node_id AS i, b.node_id AS j, "
+        f"{dist_sql('a.nx', 'a.ny', 'b.nx', 'b.ny')} AS len FROM rn a JOIN rn b "
+        f"ON (b.node_id = a.node_id + 1 AND a.node_id % {_ST_NX} <> {_ST_NX - 1}) "
+        f"OR b.node_id = a.node_id + {_ST_NX}), "
+        f"vn AS (SELECT DISTINCT e.i AS node_id FROM "
+        f"(SELECT i, len FROM nbr UNION ALL SELECT j AS i, len FROM nbr) e "
+        f"WHERE e.len <= {flit(_ST_ML)}), "
+        f"vnodes AS (SELECT r.* FROM rn r JOIN vn v ON r.node_id = v.node_id), "
+        f"res(node_id, target, pick_id) AS (VALUES {res_vals}), "
+        # snap each point to the nearest valid node (ties by node_id), draw
+        # the per-point target count from the street hash-RNG stream (tag 7)
+        f"snapd AS (SELECT p.pid, n.node_id, "
+        f"row_number() OVER (PARTITION BY p.pid ORDER BY "
+        f"{dist_sql('p.x', 'p.y', 'n.nx', 'n.ny')}, n.node_id) AS rnk "
+        f"FROM pts p CROSS JOIN vnodes n), "
+        f"tgt AS (SELECT pid, x, y, {_ST_LO} + CAST(floor(({u_sql('pid', 7, SEED)}) "
+        f"* {span}) AS INT) AS target FROM pts), "
+        f"sm AS (SELECT t.pid, t.x, t.y, pk.nx AS mx, pk.ny AS my "
+        f"FROM (SELECT pid, node_id FROM snapd WHERE rnk = 1) s "
+        f"JOIN tgt t ON s.pid = t.pid "
+        f"JOIN res r ON r.node_id = s.node_id AND r.target = t.target "
+        f"JOIN rn pk ON pk.node_id = r.pick_id)"
+    )
+
+
 def _q_street():
-    """Street mask (reference masks/street.py:202-293): snap to nearest
-    valid node, Dijkstra out to a random target count, move to the node
-    nearest the mean network distance. Graph shortest paths are not
-    practically expressible in set SQL (a recursive-CTE Dijkstra over the
-    cutoff-doubling contract enumerates exponentially many paths), so this
-    is a rows-only driver entry; semantics are pinned by
-    tests/test_masks.py (node coincidence, determinism, budget bounds)."""
+    """Street mask (reference masks/street.py:202-293): snap to the nearest
+    snap-valid node, Dijkstra out to a per-point random target count, move
+    to the node whose network distance is closest to the mean of the target
+    nearest. Exact oracle: fixture reconstructed in closed form + the baked
+    Bellman-Ford pick table (see _street_resolved)."""
 
     def q(spark: SparkSession, sf: str) -> DataFrame:
         from ..operators.street import street
 
         nodes, edges = _roads(spark)
         m = street(
-            _sens(spark, sf), 10, 20, nodes, edges, max_length=500.0, seed=SEED
+            _sens(spark, sf), _ST_LO, _ST_HI, nodes, edges,
+            max_length=_ST_ML, seed=SEED,
         )
         return m.select(
             "pid", F.round("x", 6).alias("mx"), F.round("y", 6).alias("my")
         )
 
-    return q, None
+    sql = (
+        f"WITH pts AS ({PTS}), {_street_ctes()} "
+        "SELECT pid, round(mx, 6) AS mx, round(my, 6) AS my FROM sm"
+    )
+    return q, sql
 
 
 def _q_street_k():
-    """Adaptive street_k privacy loop (reference masks/street.py:82-192);
-    rows-only for the same reason as street."""
+    """Adaptive street_k privacy loop (reference masks/street.py:82-192).
+    Exact oracle with ONE unrolled iteration (low=start): the engine loop
+    terminates on iteration 1 whenever k-satisfaction(min_k) >= suppression
+    there — true for the contract data at every driver SF. The oracle
+    SELF-CHECKS that assumption: if satisfaction at low=start were below
+    the threshold it emits NULL coordinates, which cannot hash-match the
+    engine — the gate fails loudly instead of comparing a stale unroll."""
 
     def q(spark: SparkSession, sf: str) -> DataFrame:
         from ..operators.street import street_k
@@ -224,8 +360,8 @@ def _q_street_k():
         nodes, edges = _roads(spark)
         m = street_k(
             _sens(spark, sf), tables.address_df(spark, sf),
-            min_k=3, start=10, stop=60, spread=2, increment=2,
-            suppression=0.95, max_length=500.0, seed=SEED,
+            min_k=3, start=_ST_LO, stop=60, spread=2, increment=2,
+            suppression=0.95, max_length=_ST_ML, seed=SEED,
             nodes=nodes, edges=edges,
         )
         return m.select(
@@ -235,7 +371,24 @@ def _q_street_k():
             "SUPPRESSED",
         )
 
-    return q, None
+    # iteration 1 of the loop: street(low=10, high=12) => targets {10, 11}
+    ctes = _street_ctes(span=2)
+    sql = (
+        f"WITH pts AS ({PTS}), addr AS ({ADDR}), {ctes}, "
+        f"disp AS (SELECT pid, mx, my, {dist_sql('mx', 'my', 'x', 'y')} AS radius FROM sm), "
+        f"cnt AS (SELECT d.pid, count(*) AS c FROM disp d JOIN addr a "
+        f"ON {dist_sql('d.mx', 'd.my', 'a.ax', 'a.ay')} <= d.radius GROUP BY d.pid), "
+        "kt AS (SELECT m.pid, m.mx, m.my, CAST(coalesce(c.c + 1, 1) AS BIGINT) AS k "
+        "FROM sm m LEFT JOIN cnt c ON m.pid = c.pid), "
+        "sat AS (SELECT round(sum(CASE WHEN k >= 3 THEN 1 ELSE 0 END) / CAST(count(k) AS DOUBLE), 3) AS s FROM kt), "
+        "cent AS (SELECT avg(mx) AS cx, avg(my) AS cy FROM kt) "
+        "SELECT kt.pid, "
+        f"CASE WHEN sat.s >= {flit(0.95)} THEN round(CASE WHEN k < 3 THEN cx ELSE mx END, 6) END AS sx, "
+        f"CASE WHEN sat.s >= {flit(0.95)} THEN round(CASE WHEN k < 3 THEN cy ELSE my END, 6) END AS sy, "
+        f"CASE WHEN sat.s >= {flit(0.95)} THEN (CASE WHEN k < 3 THEN 'TRUE' ELSE 'FALSE' END) END AS SUPPRESSED "
+        "FROM kt CROSS JOIN sat CROSS JOIN cent"
+    )
+    return q, sql
 
 
 # ------------------------------------------------------------ analytics ---
