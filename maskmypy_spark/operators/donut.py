@@ -49,6 +49,7 @@ def donut(
     max_attempts: int = 200,
     snap_to_streets: bool = False,
     street_nodes: DataFrame | None = None,
+    container_cell_size: float | None = None,
 ) -> DataFrame:
     """Return ``df`` with (x, y) displaced; all payload columns (image
     bytes, captions, ...) pass through untouched — the per-row fidelity
@@ -76,9 +77,11 @@ def donut(
         return _post(_offsets(df, key, low, high, seed, distribution, 0, x, y))
 
     # --- containment variant (reference donut.py:152-168) ---
-    home = pip_join(df, container, key=key, x=x, y=y).select(
-        key, F.col("poly_id").alias("_home")
-    )
+    # container_cell_size switches the PIP joins to the cell-indexed shuffle
+    # plan for container layers too big to broadcast (pip.py docstring)
+    home = pip_join(
+        df, container, key=key, x=x, y=y, cell_size=container_cell_size
+    ).select(key, F.col("poly_id").alias("_home"))
     # ONE PIP execution: checkpoint the joined fact table, then run the
     # duplicate/orphan validations against the materialized result (the
     # earlier form recomputed the PIP join three times).
@@ -122,9 +125,10 @@ def donut(
         cand = cand.withColumn(
             "_ck", F.col(key) * (max_attempts + 1) + F.col("_att")
         )
-        landed = pip_join(cand, container, key="_ck", x="_mx", y="_my").select(
-            "_ck", F.col("poly_id").alias("_landed")
-        )
+        landed = pip_join(
+            cand, container, key="_ck", x="_mx", y="_my",
+            cell_size=container_cell_size,
+        ).select("_ck", F.col("poly_id").alias("_landed"))
         # First in-home attempt per point: min over the attempt index alone
         # (a BIGINT -> map-side-combining HashAggregate; min(struct) would
         # plan a SortAggregate over every candidate). The winning

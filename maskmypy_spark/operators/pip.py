@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.rng import flit
+
 EDGE_EXPR = """
 explode(transform(sequence(0, size(ring) - 1), i -> struct(
     ring[i].x AS x1, ring[i].y AS y1,
@@ -49,20 +51,68 @@ def pip_join(
     x: str = "x",
     y: str = "y",
     poly_id: str = "poly_id",
+    cell_size: float | None = None,
 ) -> DataFrame:
     """Inner join: one row (key, x, y, poly_id) per point-polygon containment.
 
     Points in no polygon are absent (caller left-joins to detect them);
     points in several polygons produce several rows (the donut container
     contract forbids overlap — the caller raises, donut.py:158-161).
+
+    Two physical plans (value-identical; mirrors k_anonymity_polygon):
+      * ``cell_size=None`` (default): broadcast the exploded edge table and
+        bbox-range-join — right for the reference's container layers (tens
+        of polygons).
+      * ``cell_size=<meters>``: cell-indexed EQUI-join — each polygon row
+        (carrying its ring) explodes into the grid cells covering its bbox,
+        each point carries its single cell; both sides shuffle on the cell
+        key (no broadcast), then the ring explodes into edges ON THE JOINED
+        ROW. This is the national-census-layer scale path: polygon bytes
+        shuffle once per covered cell instead of residing whole on every
+        executor, and AQE skew-splits hot cells.
     """
-    edges = F.broadcast(polygon_edges(polygons, poly_id))
     px, py = F.col(x), F.col(y)
-    cand = points.select(key, x, y).join(
-        edges,
-        (px >= F.col("xmin")) & (px <= F.col("xmax"))
-        & (py >= F.col("ymin")) & (py <= F.col("ymax")),
-    )
+    if cell_size is None:
+        cand = points.select(key, x, y).join(
+            F.broadcast(polygon_edges(polygons, poly_id)),
+            (px >= F.col("xmin")) & (px <= F.col("xmax"))
+            & (py >= F.col("ymin")) & (py <= F.col("ymax")),
+        )
+    else:
+        from ..functions import cells as _cells
+
+        cs = float(cell_size)
+        cell_list = (
+            "flatten(transform("
+            f"sequence(CAST(floor(xmin / {flit(cs)}) AS BIGINT), "
+            f"CAST(floor(xmax / {flit(cs)}) AS BIGINT)), ix -> "
+            f"transform(sequence(CAST(floor(ymin / {flit(cs)}) AS BIGINT), "
+            f"CAST(floor(ymax / {flit(cs)}) AS BIGINT)), iy -> "
+            f"(ix + {_cells.CELL_OFF}) * {_cells.CELL_K} + iy + {_cells.CELL_OFF})))"
+        )
+        pg = (
+            polygons.select(
+                poly_id,
+                "ring",
+                F.expr("array_min(transform(ring, p -> p.x))").alias("xmin"),
+                F.expr("array_min(transform(ring, p -> p.y))").alias("ymin"),
+                F.expr("array_max(transform(ring, p -> p.x))").alias("xmax"),
+                F.expr("array_max(transform(ring, p -> p.y))").alias("ymax"),
+            )
+            .withColumn("_cell", F.explode(F.expr(cell_list)))
+        )
+        pt = points.select(key, x, y).withColumn(
+            "_cell", F.expr(_cells.cell_sql(x, y, cs))
+        )
+        cand = (
+            pt.join(pg, "_cell")
+            .where(
+                (px >= F.col("xmin")) & (px <= F.col("xmax"))
+                & (py >= F.col("ymin")) & (py <= F.col("ymax"))
+            )
+            .select(key, x, y, poly_id, F.expr(EDGE_EXPR).alias("_e"))
+            .select(key, x, y, poly_id, "_e.*")
+        )
     straddle = (F.col("y1") > py) != (F.col("y2") > py)
     lhs = (px - F.col("x1")) * (F.col("y2") - F.col("y1"))
     rhs = (F.col("x2") - F.col("x1")) * (py - F.col("y1"))

@@ -43,6 +43,50 @@ def test_pip_join_broadcasts_edges(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_pip_join_cell_path_shuffles_not_broadcasts(spark):
+    """cell_size= must produce a shuffle EQUI-join on the cell key (the
+    continent-scale path for polygon layers too big to broadcast) with
+    values identical to the broadcast plan — including via donut's
+    container_cell_size."""
+    from maskmypy_spark.operators.donut import donut
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(200, seed=42))
+    rows = []
+    for ix in range(8):
+        for iy in range(4):
+            x0, y0 = ix * 2500.0, iy * 2500.0
+            rows.append((ix * 10 + iy, [
+                {"x": x0, "y": y0}, {"x": x0 + 2500.0, "y": y0},
+                {"x": x0 + 2500.0, "y": y0 + 2500.0}, {"x": x0, "y": y0 + 2500.0},
+            ]))
+    polys = spark.createDataFrame(
+        rows, "poly_id long, ring array<struct<x:double,y:double>>"
+    )
+    # with auto-broadcast off (as a too-big-to-broadcast layer would be),
+    # the cell path MUST still plan — as a shuffle equi-join; the bbox
+    # theta-join path can only BroadcastNestedLoop
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cellp = pip_join(pts, polys, cell_size=2000.0)
+        plan = _plan(cellp)
+        assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    cellp = pip_join(pts, polys, cell_size=2000.0)
+    a = {tuple(r) for r in cellp.collect()}
+    b = {tuple(r) for r in pip_join(pts, polys).collect()}
+    assert a == b and len(a) == 200
+
+    m1 = donut(pts, 100.0, 500.0, seed=7, container=polys).collect()
+    m2 = donut(
+        pts, 100.0, 500.0, seed=7, container=polys, container_cell_size=2000.0
+    ).collect()
+    assert {tuple(r) for r in m1} == {tuple(r) for r in m2}
+
+
 def test_parquet_scan_prunes_columns(spark):
     """Deriving points reads ONLY the key column from the 5-column parquet
     (ReadSchema pruning via Catalyst)."""
