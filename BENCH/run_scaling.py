@@ -22,7 +22,7 @@ checksums at ALL levels must be identical (reference atlas.py:229-233;
 our partitioning-independent RNG makes this hold).
 
 Usage:  python BENCH/run_scaling.py [n_rows] [level ...]
-        (defaults: 2,000,000 rows, levels 2 8 32)
+        (defaults: 1,000,000 rows, levels 2 8 32)
 Writes: BENCH/BASELINE.md + BENCH/scaling.json   (both fully generated —
         do not hand-edit; one-off measurements belong in BENCH/NOTES.md)
 """

@@ -84,7 +84,16 @@ def language_id(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
         words = LANG_PROFILES[lang]
         out = out.withColumn(
             f"_s_{lang}",
-            F.round(F.size(F.filter(F.col("_t"), lambda t: t.isin(*words))) / F.size("_t"), 6),
+            # NULL text => score 0 => 'und' (aligned with the DuckDB
+            # oracle's coalesce; the explicit isNotNull guard is immune to
+            # the legacy size(NULL) = -1 config, where -1/-1 would score 1)
+            F.when(
+                F.col("_t").isNotNull(),
+                F.round(
+                    F.size(F.filter(F.col("_t"), lambda t: t.isin(*words))) / F.size("_t"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
         )
     # max over (score, rank): rank descends alphabetically, so equal scores
     # resolve to the alphabetically-first language.
@@ -142,10 +151,11 @@ def ngram_jaccard_pairs(
     n: int = 3,
     max_shingle_df: int | str | None = "auto",
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-duplicate pairs via the shingle inverted
-    index: docs sharing >=1 shingle are candidates; |A ∩ B| falls out of the
-    index self-join, |A|,|B| from per-doc counts. One shuffle on shingle,
-    one on the pair key.
+    """n-gram Jaccard near-duplicate pairs via the shingle inverted index:
+    docs sharing >=1 shingle are candidates; |A ∩ B| falls out of the index
+    self-join, |A|,|B| from per-doc counts. One shuffle on shingle, one on
+    the pair key. EXACT whenever no shingle's doc frequency exceeds
+    ``max_shingle_df`` (always true at the contract-gate scales).
 
     ``max_shingle_df`` drops ubiquitous shingles (stop-shingles) from the
     candidate join — the mandatory skew guard at web scale, where one hot
@@ -153,14 +163,28 @@ def ngram_jaccard_pairs(
     max(4096, 1% of corpus) — a no-op at verification scales (so the exact
     oracle still matches) while bounding any single shingle's join fan-out
     at 100 TB. ``None`` disables the guard (fully exact, unbounded skew).
-    Note the denominator |A|+|B|-|A∩B| still counts dropped shingles, so a
-    capped run can only UNDER-estimate jaccard (no false positives)."""
+    When the cap actually drops shingles a ``UserWarning`` reports how many
+    (one cheap aggregate job): true pairs can then be missed — the
+    denominator |A|+|B|-|A∩B| still counts dropped shingles, so a capped
+    run only UNDER-estimates jaccard (no false positives)."""
     sh = shingles(df, key, text, n).cache()
     sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
     if max_shingle_df == "auto":
         max_shingle_df = max(4096, int(df.count() * 0.01))
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
+        n_hot = hot.count()
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"ngram_jaccard_pairs: dropping {n_hot} shingles with doc "
+                f"frequency > {max_shingle_df}; jaccard is under-estimated "
+                "for pairs sharing them (pass max_shingle_df=None for the "
+                "exact, skew-unbounded join)",
+                UserWarning,
+                stacklevel=2,
+            )
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     a = sh.select(F.col(key).alias("d1"), "shingle")
     b = sh.select(F.col(key).alias("d2"), "shingle")
@@ -481,15 +505,20 @@ def ivf_cosine_nn(
     import numpy as np
 
     spark = emb.sparkSession
+    # L2-normalize once (cosine == dot product afterwards); the divisor is
+    # floored at 1e-12 so a zero-norm embedding maps to the zero vector
+    # (cos 0 against everything) instead of NULL elements that silently
+    # vanish from results. localCheckpoint (not cache) materializes the
+    # normalized frame once for its ~4 downstream consumers and leaves no
+    # persistent cache entry behind when the operator's result is dropped.
     e = emb.select(
         F.col(key).alias("_id"),
         F.expr(
-            # L2-normalize once: cosine == dot product afterwards
             f"transform({vec}, v -> CAST(v AS DOUBLE) / "
-            f"sqrt(aggregate(zip_with({vec}, {vec}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
-            f"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)))"
+            f"greatest(sqrt(aggregate(zip_with({vec}, {vec}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)), 1.0e-12))"
         ).alias("_v"),
-    ).cache()
+    ).localCheckpoint(eager=True)
 
     # deterministic seed centroids: the n_centroids vectors with the
     # smallest keyed hash (order- and partition-independent)
@@ -499,7 +528,7 @@ def ivf_cosine_nn(
         e.withColumn("_u", F.expr(u_sql("abs(xxhash64(_id))", 31, seed)))
         .orderBy("_u", "_id")
         .limit(n_centroids)
-        .select(F.monotonically_increasing_id().alias("_tmp"), "_v")
+        .select("_v")
         .collect()
     )
     cents = [(i, [float(x) for x in r["_v"]]) for i, r in enumerate(seeds)]
@@ -547,7 +576,13 @@ def ivf_cosine_nn(
             .agg(F.sort_array(F.collect_list(F.struct("_d", "_m"))).alias("_s"))
             .select("_cid", F.expr("transform(_s, s -> s._m)").alias("_c"))
         )
-        cent_df = upd
+        # materialize the (n_centroids-row) table each iteration: keeps the
+        # plan one-join deep instead of nesting lloyd_iters layers of
+        # aggregation into a single mega-plan
+        cent_df = spark.createDataFrame(
+            [(int(r["_cid"]), [float(v) for v in r["_c"]]) for r in upd.collect()],
+            "_cid int, _c array<double>",
+        )
 
     lists = assign(cent_df, rank=1)                 # vector -> its list
     probes = assign(cent_df, rank=n_probe)          # vector -> probed lists

@@ -1021,10 +1021,12 @@ def _q_doc_language():
         return dedup.language_id(tables.load(spark, sf, "documents"))
 
     langs = sorted(dedup.LANG_PROFILES)
+    # coalesce: NULL text scores 0 (=> 'und'), matching the engine's
+    # isNotNull guard (ADVICE r02)
     score = lambda lang: (  # noqa: E731
-        "round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "coalesce(round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
         f"t -> t IN ({', '.join(repr(w) for w in dedup.LANG_PROFILES[lang])}))) "
-        "/ len(string_split_regex(trim(lower(text)), '\\s+')), 6)"
+        "/ len(string_split_regex(trim(lower(text)), '\\s+')), 6), 0.0)"
     )
     scores = ", ".join(f"{score(lang)} AS s_{lang}" for lang in langs)
     best = f"greatest({', '.join('s_' + lang for lang in langs)})"

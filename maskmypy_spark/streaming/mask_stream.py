@@ -55,8 +55,19 @@ def k_verify_stream(
     streaming aggregation (window + point) keeps the plan in append mode;
     window-level k-satisfaction is a trivial batch query over the sink.
 
+    The join is LEFT OUTER so points with ZERO addresses in their disk —
+    the least-private, k = 1 rows — still emit a row (k = 1 + count of
+    non-null address keys); an inner join would silently drop exactly the
+    points a k-satisfaction monitor most needs to see.
+
+    Note: pairs are only guaranteed found within ``high`` of the masked
+    point (the cell-ring radius); a gaussian-distribution displacement can
+    exceed ``high``, under-counting k for those rare rows — use the batch
+    verifier for post-hoc audits of gaussian masks.
+
     Returns (window, pid, k_anonymity)."""
-    from ..operators.distance_join import dist_sql, distance_join
+    from ..functions import cells
+    from ..operators.distance_join import dist_sql
 
     # keep originals as payload columns so the displacement radius is a
     # stateless projection (no stream-stream join anywhere)
@@ -65,16 +76,24 @@ def k_verify_stream(
     )
     masked = donut(pts, low, high, seed, key=key, x=x, y=y)
     masked = masked.withColumn("_radius", F.expr(dist_sql(x, y, "_orig_x", "_orig_y")))
-    pairs = distance_join(
-        masked.withWatermark(ts, watermark),
-        address,
-        radius=float(high),
-        lx=x, ly=y, rx="ax", ry="ay",
-        broadcast_right=True,
-    ).where(F.col("dist") <= F.col("_radius"))
+    cs = float(high)
+    lt = masked.withWatermark(ts, watermark).withColumn(
+        "_cell", F.expr(cells.cell_sql(x, y, cs))
+    )
+    rcell = F.expr(cells.cell_sql("ax", "ay", cs))
+    rt = F.broadcast(
+        address.withColumn(
+            "_cell",
+            F.explode(F.array(*[rcell + F.lit(o) for o in cells.ring_offsets(1)])),
+        )
+    )
+    d = F.expr(dist_sql(x, y, "ax", "ay"))
+    pairs = lt.join(
+        rt, (lt["_cell"] == rt["_cell"]) & (d <= F.col("_radius")), "left"
+    )
     return (
         pairs.groupBy(F.window(F.col(ts), window).alias("window"), F.col(key))
-        .agg((F.count(F.lit(1)) + F.lit(1)).alias("k_anonymity"))
+        .agg((F.count("aid") + F.lit(1)).alias("k_anonymity"))
     )
 
 

@@ -139,6 +139,32 @@ def test_language_id_profiles(spark):
     assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
 
 
+def test_language_id_null_and_empty_text(spark):
+    """NULL/empty text => ('und', 0.0) on BOTH engines (ADVICE r02: the
+    oracle's CASE without ELSE used to yield NULL language for NULL text)."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["language"], r["score"])
+        for r in dedup.language_id(df).collect()
+    }
+    assert got == {0: ("und", 0.0), 1: ("und", 0.0), 2: ("und", 0.0)}
+
+    from maskmypy_spark.plans import contract
+
+    _q, sql = contract.build()["doc_language"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, NULL), (1, ''), (2, '   ')) t(doc_id, text)"
+    )
+    want = {r[0]: (r[1], r[2]) for r in con.sql(sql).fetchall()}
+    assert want == got
+
+
 def test_cosine_nn_exact_vs_numpy(spark):
     rs = np.random.RandomState(6)
     vecs = rs.standard_normal((80, 16)).astype(np.float32)

@@ -76,8 +76,10 @@ def test_k_verify_stream_matches_batch(spark, tmp_path):
     want_df = analysis.k_anonymity_address(pts, m, addr, max_radius=400.0)
     want = {r["pid"]: r["k_anonymity"] for r in want_df.collect()}
     # points with k=1 (no address pairs) never enter the join output
-    want_joined = {k: v for k, v in want.items() if v > 1}
-    assert got == want_joined
+    # left-outer stream-static join: k = 1 rows (zero addresses in the
+    # disk — the least-private points) MUST be emitted too
+    assert got == want
+    assert any(v == 1 for v in want.values()), "fixture should exercise k=1"
 
 
 def test_stream_checkpoint_resume(spark, tmp_path):
