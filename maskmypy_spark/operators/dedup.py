@@ -374,10 +374,11 @@ def simhash_pairs(
     key: str = "doc_id",
     text: str = "text",
     bands: int | None = None,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate pairs: simhash64 + banded hamming join."""
     return hamming_pairs(
-        simhash64(df, key, text), "simhash", key, max_hamming, bands
+        simhash64(df, key, text, hasher), "simhash", key, max_hamming, bands
     )
 
 
@@ -430,9 +431,57 @@ def dedup_clusters(
     return labels.select(F.col("a").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-def simhash64(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+# --- md5 token-hash fragments, written in dialect-shared SQL (valid in
+# Spark SQL AND DuckDB) so the md5-mode simhash has an exact oracle twin:
+# 15 hex nibbles of md5(token) = a 60-bit token hash; bit i (LSB=0) lives
+# in nibble 14 - i//4 at in-nibble position i % 4.
+SIMHASH_MD5_BITS = 60
+
+
+def md5_nibble_sql(h: str, j: int) -> str:
+    """Value 0..15 of hex digit ``j`` (0 = most significant) of column h."""
+    return f"(instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1)"
+
+
+def md5_bit_sql(i: int) -> str:
+    """Bit i of the 60-bit token hash from the prestaged _n{j} nibbles."""
+    j, b = 14 - i // 4, i % 4
+    return f"(CAST(floor(_n{j} / {1 << b}) AS INT) % 2)"
+
+
+def simhash64(
+    df: DataFrame, key: str = "doc_id", text: str = "text", hasher: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of the sum of token
-    hash bits. Declarative: explode tokens, aggregate bit votes."""
+    hash bits. Declarative: explode tokens, aggregate bit votes.
+
+    ``hasher='xxhash64'`` (default) uses the JVM 64-bit hash — fastest, but
+    not reproducible outside Spark. ``hasher='md5'`` derives a 60-bit token
+    hash from the first 15 hex digits of md5(token) — ~2x the bytes per
+    token but bit-identical in DuckDB, giving the sketch (and every
+    downstream hamming pair) an EXACT cross-engine oracle; bits 60..63 are
+    always 0."""
+    if hasher == "md5":
+        toks = df.select(key, F.explode(tokens_col(text)).alias("_tok")).withColumn(
+            "_h", F.md5("_tok")
+        )
+        for j in range(15):
+            toks = toks.withColumn(f"_n{j}", F.expr(md5_nibble_sql("_h", j)))
+        votes = toks.groupBy(key).agg(
+            *[
+                F.sum(
+                    F.expr(f"CASE WHEN {md5_bit_sql(i)} = 1 THEN 1 ELSE -1 END")
+                ).alias(f"_v{i}")
+                for i in range(SIMHASH_MD5_BITS)
+            ]
+        )
+        expr = " + ".join(
+            f"(CASE WHEN _v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(SIMHASH_MD5_BITS)
+        )
+        return votes.select(key, F.expr(expr).alias("simhash"))
+    if hasher != "xxhash64":
+        raise ValueError("hasher must be 'xxhash64' or 'md5'")
     toks = (
         df.select(key, F.explode(tokens_col(text)).alias("_tok"))
         .withColumn("_h", F.xxhash64("_tok"))

@@ -1167,17 +1167,53 @@ def _q_audio_stats():
     return q, None
 
 
+def _simhash_md5_ctes() -> str:
+    """CTEs ending in sh(doc_id, simhash): the md5-mode 60-bit simhash of
+    documents.text, rendered from the SAME dialect-shared fragments the
+    engine executes (operators/dedup.py:md5_nibble_sql/md5_bit_sql)."""
+    from ..operators import dedup
+
+    nibs = ", ".join(
+        f"{dedup.md5_nibble_sql('_h', j)} AS _n{j}" for j in range(15)
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN {dedup.md5_bit_sql(i)} = 1 THEN 1 ELSE -1 END) AS _v{i}"
+        for i in range(dedup.SIMHASH_MD5_BITS)
+    )
+    asm = " + ".join(
+        f"(CASE WHEN _v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(dedup.SIMHASH_MD5_BITS)
+    )
+    return (
+        "toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS _tok "
+        "FROM documents), "
+        "hx AS (SELECT doc_id, md5(_tok) AS _h FROM toks), "
+        f"nib AS (SELECT doc_id, {nibs} FROM hx), "
+        f"votes AS (SELECT doc_id, {votes} FROM nib GROUP BY doc_id), "
+        f"sh AS (SELECT doc_id, {asm} AS simhash FROM votes)"
+    )
+
+
 def _q_simhash_pairs():
-    """SimHash banded hamming near-dups; rows-only (simhash values are
-    engine-xxhash-specific), semantics pinned by tests/test_dedup.py."""
+    """SimHash banded hamming near-dups over the md5-mode sketch — EXACT
+    oracle (r02 verdict item 5): the md5 token hash is reproducible in
+    DuckDB, so the whole sketch->band->verify pipeline is checked end-to-
+    end; the default xxhash64 sketch stays pinned by tests/test_dedup.py."""
     from ..operators import dedup
 
     def q(spark: SparkSession, sf: str) -> DataFrame:
         return dedup.simhash_pairs(
-            tables.load(spark, sf, "documents"), max_hamming=8
+            tables.load(spark, sf, "documents"), max_hamming=8, hasher="md5"
         )
 
-    return q, None
+    sql = (
+        f"WITH {_simhash_md5_ctes()} "
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"
+    )
+    return q, sql
 
 
 def _q_ivf_nn():
@@ -1209,12 +1245,17 @@ def _q_minhash_lsh():
 
 
 def _q_simhash():
+    """md5-mode 60-bit simhash sketch — EXACT oracle (see _simhash_md5_ctes);
+    the xxhash64 default stays pinned by tests/test_dedup.py."""
     from ..operators import dedup
 
     def q(spark: SparkSession, sf: str) -> DataFrame:
-        return dedup.simhash64(tables.load(spark, sf, "documents"))
+        return dedup.simhash64(
+            tables.load(spark, sf, "documents"), hasher="md5"
+        )
 
-    return q, None
+    sql = f"WITH {_simhash_md5_ctes()} SELECT doc_id, simhash FROM sh"
+    return q, sql
 
 
 # ------------------------------------------------------------- registry ---

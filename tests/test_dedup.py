@@ -72,6 +72,27 @@ def test_simhash_hamming_close_for_neardups(docs):
     assert np.mean(rand) > 12  # unrelated docs are far
 
 
+def test_simhash_md5_mode_semantics(docs):
+    """md5-mode sketch: 60-bit range, exact dup => hamming 0, planted
+    near-dups close, unrelated docs far (same contract as xxhash64 mode)."""
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash64(docs, hasher="md5").collect()
+    }
+    assert all(0 <= v < (1 << 60) for v in sh.values())
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sh[7], sh[2000]) == 0
+    planted = [ham(sh[s], sh[1000 + j]) for j, s in enumerate([3, 17, 42, 99])]
+    assert max(planted) <= 8
+    rs = np.random.RandomState(0)
+    ids = [i for i in sh if i < 1000]
+    rand = [ham(sh[a], sh[b]) for a, b in zip(rs.choice(ids, 30), rs.choice(ids, 30)) if a != b]
+    assert np.mean(rand) > 12
+
+
 def test_simhash_pairs_banded_join_is_exact_at_threshold(docs):
     """The banded hamming join has NO false negatives (pigeonhole): it must
     return exactly the pairs a brute-force hamming scan finds."""
