@@ -542,9 +542,46 @@ def evaluate(
     the engine's original API. Returns a plain dict like the reference;
     each stat is a tiny agg job."""
     stats: dict = {}
-    stats["central_drift"] = float(central_drift(sensitive, candidate, x, y).collect()[0][0])
-    disp = displacement(sensitive, candidate, key, x, y).localCheckpoint(eager=True)
-    stats.update(summarize_displacement(disp).collect()[0].asDict())
+    # ONE displacement join feeds everything scalar: the original coords
+    # ride along so central drift + the displacement summary collapse into
+    # a single aggregate job over the checkpointed frame (they used to be
+    # three separate actions; the per-table averages equal the joined-frame
+    # averages because the key join is 1:1-complete — the reference's own
+    # index-alignment contract, analysis.py:82-105).
+    s = sensitive.select(
+        key, F.col(x).alias(SENS_PREFIX + x), F.col(y).alias(SENS_PREFIX + y)
+    )
+    disp = (
+        candidate.join(s, key)
+        .withColumn(
+            "_distance", F.expr(dist_sql(x, y, SENS_PREFIX + x, SENS_PREFIX + y))
+        )
+        .localCheckpoint(eager=True)
+    )
+    head = (
+        disp.agg(
+            F.round(F.min("_distance"), 6).alias("displacement_min"),
+            F.round(F.max("_distance"), 6).alias("displacement_max"),
+            F.round(F.median("_distance"), 6).alias("displacement_med"),
+            F.round(F.avg("_distance"), 6).alias("displacement_mean"),
+            F.avg(x).alias("_bx"),
+            F.avg(y).alias("_by"),
+            F.avg(SENS_PREFIX + x).alias("_ax"),
+            F.avg(SENS_PREFIX + y).alias("_ay"),
+        )
+        .select(
+            "displacement_min", "displacement_max",
+            "displacement_med", "displacement_mean",
+            F.round(F.expr(dist_sql("_ax", "_ay", "_bx", "_by")), 6).alias(
+                "central_drift"
+            ),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    stats["central_drift"] = float(head.pop("central_drift"))
+    stats.update(head)
+    disp = disp.drop(SENS_PREFIX + x, SENS_PREFIX + y)
     stats.update(nnd_delta(sensitive, candidate, key, x, y).collect()[0].asDict())
     if not skip_slow:
         stats["ripley_rmse"] = ripley_rmse(
@@ -561,8 +598,23 @@ def evaluate(
             kdf = k_anonymity_address(
                 sensitive, candidate, pop, key, x, y, akey, ax, ay, disp=disp
             )
-        stats.update({k: (int(v) if k in ("k_min", "k_max") else float(v))
-                      for k, v in summarize_k(kdf).collect()[0].asDict().items()})
-        for mk in (5, 25, 50):
-            stats[f"k_satisfaction_{mk}"] = k_satisfaction_value(kdf, mk)
+        # k summary + the three satisfaction levels: ONE aggregate job
+        # (identical expressions to summarize_k / k_satisfaction)
+        kc = F.col("k_anonymity")
+        krow = kdf.agg(
+            F.min("k_anonymity").cast("bigint").alias("k_min"),
+            F.max("k_anonymity").cast("bigint").alias("k_max"),
+            F.round(F.median(kc.cast("double")), 2).alias("k_med"),
+            F.round(F.avg("k_anonymity"), 2).alias("k_mean"),
+            *[
+                F.round(
+                    F.sum(F.when(kc >= mk, 1).otherwise(0)) / F.count("k_anonymity"), 3
+                ).alias(f"k_satisfaction_{mk}")
+                for mk in (5, 25, 50)
+            ],
+        ).collect()[0].asDict()
+        stats.update(
+            {k: (int(v) if k in ("k_min", "k_max") else float(v))
+             for k, v in krow.items()}
+        )
     return stats

@@ -65,7 +65,9 @@ def build_csr(nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame, max_length: floa
 
 def _dijkstra_pick(csr, start_dense: int, target: int, max_length: float):
     """First `target` nodes by network distance (cutoff-doubling), then the
-    node minimizing (|d - mean|, node_id). Returns dense node index.
+    node minimizing (|d - mean|, node_id). Returns (dense node index,
+    final cutoff) — the cutoff bounds the explored ball, which
+    street_by_region uses to certify boundary-independence.
 
     Termination: if the reachable set stops growing between doublings (the
     snapped node's connected component has fewer than `target` nodes), fall
@@ -100,7 +102,7 @@ def _dijkstra_pick(csr, start_dense: int, target: int, max_length: float):
     items = sorted(dist.items(), key=lambda kv: (kv[1], csr["ids"][kv[0]]))[:n_take]
     mean_d = sum(d for _, d in items) / n_take
     best = min(items, key=lambda kv: (abs(kv[1] - mean_d), csr["ids"][kv[0]]))
-    return best[0]
+    return best[0], cutoff
 
 
 def street(
@@ -173,7 +175,7 @@ def street(
         for pdf in it:
             outs = []
             for nid, tgt in zip(pdf["_sn_id"], pdf["_target"]):
-                dense = _dijkstra_pick(csr_l, remap[int(nid)], int(tgt), max_length)
+                dense, _ = _dijkstra_pick(csr_l, remap[int(nid)], int(tgt), max_length)
                 outs.append(
                     (int(nid), int(tgt), float(csr_l["xs"][dense]), float(csr_l["ys"][dense]))
                 )
@@ -190,6 +192,168 @@ def street(
         out.withColumn(x, F.col("_mx"))
         .withColumn(y, F.col("_my"))
         .drop("_sn_id", "_target", "_mx", "_my")
+    )
+
+
+def street_by_region(
+    df: DataFrame,
+    low: int,
+    high: int,
+    nodes: DataFrame,
+    edges: DataFrame,
+    region_size: float,
+    margin: float | None = None,
+    max_length: float = 1000.0,
+    seed: int | None = None,
+    key: str = "pid",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Street mask WITHOUT the driver-materialized graph bound — the
+    continent-scale path ``street`` points to at street.py:132-137.
+
+    Fully distributed: points hash into coarse grid regions
+    (``region_size``); every road node replicates to the regions within
+    ``margin`` of it (cell-ring explode); edges follow when BOTH endpoints
+    are present; one ``cogroup().applyInPandas`` then snaps + Dijkstra-picks
+    each region against its LOCAL subgraph — no driver collect, no
+    broadcast, graph memory per task = one region's margin-expanded
+    subgraph.
+
+    Node snap-validity is computed GLOBALLY first (one distributed
+    semi-join: >=1 incident edge <= max_length) and shipped as a flag, so
+    boundary truncation cannot flip it.
+
+    Semantics vs :func:`street`: identical whenever a point's snap distance
+    plus its final Dijkstra cutoff fits inside ``margin`` (everything the
+    global algorithm would explore is present in the local subgraph). The
+    output column ``region_exact`` certifies that bound PER ROW — rows
+    where it is False (points near a region border with an unusually deep
+    exploration) may differ from the global mask; re-run those few through
+    ``street`` or enlarge ``margin``. Default margin = 8 * max_length
+    (three cutoff doublings beyond the snap ball).
+    """
+    import math as _math
+
+    if low >= high:
+        raise ValueError("Minimum target node count must be below maximum.")
+    seed = rng.gen_seed() if not seed else seed
+    margin = float(margin if margin is not None else 8.0 * max_length)
+
+    from ..functions import cells
+
+    ok = edges.where(F.col("length") <= float(max_length))
+    valid_ids = (
+        ok.select(F.col("src").alias("node_id"))
+        .unionByName(ok.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .withColumn("_valid", F.lit(1))
+    )
+    nodes_v = nodes.join(valid_ids, "node_id", "left").withColumn(
+        "_valid", F.coalesce("_valid", F.lit(0))
+    )
+
+    ring = max(1, int(_math.ceil(margin / float(region_size))))
+    ncell = F.expr(cells.cell_sql("nx", "ny", float(region_size)))
+    repn = nodes_v.withColumn(
+        "_region",
+        F.explode(F.array(*[ncell + F.lit(o) for o in cells.ring_offsets(ring)])),
+    )
+    rep_src = repn.select(F.col("node_id").alias("src"), "_region")
+    rep_dst = repn.select(F.col("node_id").alias("dst"), "_region")
+    repe = edges.join(rep_src, "src").join(rep_dst, ["dst", "_region"])
+
+    # nodes + edges as ONE discriminated frame (cogroup takes two sides)
+    graph = repn.select(
+        "_region",
+        F.lit(0).alias("_kind"),
+        F.col("node_id").alias("_a"),
+        F.col("nx").alias("_u"),
+        F.col("ny").alias("_v"),
+        F.col("_valid").cast("double").alias("_w"),
+    ).unionByName(
+        repe.select(
+            "_region",
+            F.lit(1).alias("_kind"),
+            F.col("src").alias("_a"),
+            F.col("dst").cast("double").alias("_u"),
+            F.col("length").alias("_v"),
+            F.lit(0.0).alias("_w"),
+        )
+    )
+
+    pts = df.withColumn("_region", F.expr(cells.cell_sql(x, y, float(region_size))))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", region_exact boolean"
+    cols = list(df.columns)
+    xi, yi = cols.index(x), cols.index(y)
+    span = int(high - low)
+
+    def mask_region(_k, pts_pdf, graph_pdf):
+        if len(pts_pdf) == 0:
+            return pts_pdf[cols].assign(region_exact=np.zeros(0, dtype=bool))
+        nmask = graph_pdf["_kind"].to_numpy() == 0
+        npdf = pd.DataFrame(
+            {
+                "node_id": graph_pdf.loc[nmask, "_a"].to_numpy(np.int64),
+                "nx": graph_pdf.loc[nmask, "_u"].to_numpy(np.float64),
+                "ny": graph_pdf.loc[nmask, "_v"].to_numpy(np.float64),
+            }
+        )
+        valid = graph_pdf.loc[nmask, "_w"].to_numpy(np.float64) > 0.5
+        epdf = pd.DataFrame(
+            {
+                "src": graph_pdf.loc[~nmask, "_a"].to_numpy(np.int64),
+                "dst": graph_pdf.loc[~nmask, "_u"].to_numpy(np.int64),
+                "length": graph_pdf.loc[~nmask, "_v"].to_numpy(np.float64),
+            }
+        )
+        if not valid.any():
+            raise ValueError(
+                "street_by_region: a region has points but no snap-valid "
+                "node within margin — enlarge margin or region_size."
+            )
+        csr = build_csr(npdf, epdf, max_length)
+        # build_csr recomputes validity from the TRUNCATED subgraph; ship
+        # the global flag instead (aligned to build_csr's id sort)
+        order = np.argsort(npdf["node_id"].to_numpy(np.int64))
+        csr["valid"] = valid[order]
+        remap = {int(v): i for i, v in enumerate(csr["ids"])}
+
+        vxs = csr["xs"][csr["valid"]]
+        vys = csr["ys"][csr["valid"]]
+        vids = csr["ids"][csr["valid"]]
+        pids = pts_pdf[key].to_numpy(np.int64)
+        pxs = pts_pdf[x].to_numpy(np.float64)
+        pys = pts_pdf[y].to_numpy(np.float64)
+        us = rng.u_np(pids, rng.TAG_STREET_N, seed)
+        targets = (low + np.floor(us * span)).astype(np.int64)
+
+        out = pts_pdf[cols].copy()
+        exact = np.zeros(len(pts_pdf), dtype=bool)
+        mxs = np.empty(len(pts_pdf))
+        mys = np.empty(len(pts_pdf))
+        for i in range(len(pts_pdf)):
+            d2 = (vxs - pxs[i]) ** 2 + (vys - pys[i]) ** 2
+            # deterministic (dist, node_id) argmin over the local candidates
+            j = np.lexsort((vids, d2))[0]
+            snap_d = float(np.sqrt(d2[j]))
+            dense, cutoff = _dijkstra_pick(
+                csr, remap[int(vids[j])], int(targets[i]), max_length
+            )
+            mxs[i] = csr["xs"][dense]
+            mys[i] = csr["ys"][dense]
+            exact[i] = snap_d + cutoff <= margin
+        out.iloc[:, xi] = mxs
+        out.iloc[:, yi] = mys
+        out["region_exact"] = exact
+        return out
+
+    return (
+        pts.groupBy("_region")
+        .cogroup(graph.groupBy("_region"))
+        .applyInPandas(mask_region, schema=out_schema)
     )
 
 

@@ -322,6 +322,35 @@ def test_street_masks_to_nodes(points, roads, addresses):
     assert analysis.checksum(street(points, 5, 10, nodes, edges, max_length=400.0, seed=3)) == analysis.checksum(m1)
 
 
+def test_street_by_region_matches_global(points, roads):
+    """street_by_region (the beyond-driver-bound path street.py:132-137
+    points to): identical coordinates to the global street mask wherever
+    the per-row region_exact certificate holds, near-total coverage at a
+    sane margin, and it works where street()'s driver bound refuses."""
+    from maskmypy_spark.operators.street import street_by_region
+
+    nodes, edges = roads
+    g = {
+        r["pid"]: (r["x"], r["y"])
+        for r in street(points, 10, 20, nodes, edges, max_length=500.0, seed=7).collect()
+    }
+    rows = street_by_region(
+        points, 10, 20, nodes, edges, region_size=3000.0,
+        max_length=500.0, seed=7,
+    ).collect()
+    assert len(rows) == len(g)
+    exact = [r for r in rows if r["region_exact"]]
+    assert len(exact) / len(rows) > 0.9  # interior points dominate
+    for r in exact:
+        assert (r["x"], r["y"]) == g[r["pid"]]
+
+    # the driver-materialized path refuses a graph over its bound; the
+    # region path is the documented escape hatch
+    with pytest.raises(ValueError, match="max_graph_nodes"):
+        street(points, 10, 20, nodes, edges, max_length=500.0, seed=7,
+               max_graph_nodes=100)
+
+
 def test_mark_unmasked_idiom(spark, points):
     """reference tests/test_tools.py:25-35: translated points -> UNMASKED=0,
     untouched points -> UNMASKED=1 (our 1 means 'kept original')."""
