@@ -251,17 +251,55 @@ def fingerprint_winnow(
     )
 
 
+# Universal-hash family for the md5-mode MinHash: mh_i(s) =
+# (a_i * (h60(s) mod P) + b_i) mod P over the Mersenne prime P = 2^31 - 1.
+# Plain integer arithmetic (products < 2^62), so the SAME coefficients run
+# bit-identically in Spark SQL and DuckDB — the exact-oracle path.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    out = []
+    for i in range(num_hashes):
+        a = (2_654_435_761 * (i + 1) + 97) % MINHASH_P or 1
+        b = (1_103_515_245 * (i + 1) + 12_345) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
-    df: DataFrame, num_hashes: int = 32, key: str = "doc_id", text: str = "text", n: int = 3
+    df: DataFrame,
+    num_hashes: int = 32,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per doc: min over shingles of xxhash64(shingle, i)
-    for i in 0..num_hashes-1. Partitioning-independent (pure function of
-    the shingle set)."""
+    """MinHash signature per doc: min over shingles of hash_i(shingle) for
+    i in 0..num_hashes-1. Partitioning-independent (pure function of the
+    shingle set).
+
+    ``hasher='xxhash64'`` (default) seeds the JVM hash per permutation;
+    ``hasher='md5'`` maps each shingle through a 60-bit md5 hash and a
+    universal-hash family mod 2^31-1 (:func:`minhash_coeffs`) — slower,
+    but reproducible in DuckDB, giving the LSH pipeline an exact oracle."""
     sh = shingles(df, key, text, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    if hasher == "md5":
+        hp = (
+            f"(CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+            f" % {MINHASH_P})"
+        )
+        mins = [
+            F.min(F.expr(f"({hp} * {a} + {b}) % {MINHASH_P}")).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
+    elif hasher == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError("hasher must be 'xxhash64' or 'md5'")
     return sh.groupBy(key).agg(*mins)
 
 
@@ -273,19 +311,33 @@ def minhash_lsh_pairs(
     key: str = "doc_id",
     text: str = "text",
     n: int = 3,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, then EXACT Jaccard
     verification of candidates only (no false positives; false-negative
     rate bounded by the band curve 1-(1-s^r)^b). The scale path when the
-    full inverted-index join is too hot."""
+    full inverted-index join is too hot.
+
+    ``hasher='md5'`` switches the signatures to the DuckDB-reproducible
+    family AND keys the band join on the collision-free concatenated
+    signature rows (instead of their xxhash64), so band membership is
+    EXACTLY "all r signature values equal" on both engines."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, key, text, n)
-    band_cols = [
-        F.xxhash64(F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
+    sig = minhash_signatures(df, num_hashes, key, text, n, hasher)
+    if hasher == "md5":
+        band_cols = [
+            F.concat_ws(
+                ",", F.lit(str(b)), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+                f"band_{b}"
+            )
+            for b in range(bands)
+        ]
     banded = sig.select(key, *band_cols)
     pairs = None
     for b in range(bands):

@@ -1231,17 +1231,54 @@ def _q_ivf_nn():
 
 
 def _q_minhash_lsh():
-    """MinHash-LSH near-dups: engine sketch op; verified rows-only by the
-    driver (sketches are engine-hash-specific), exactly vs ngram_jaccard in
+    """MinHash-LSH near-dups over the md5-mode universal-hash family —
+    EXACT oracle (r02 verdict item 5): the oracle recomputes the 32
+    signature minima with the same coefficients mod 2^31-1, requires band
+    agreement (all r rows equal — the engine's concat band key is
+    collision-free, so the predicates coincide), then exact Jaccard on the
+    candidates. The xxhash64 default stays pinned vs exact jaccard in
     tests/test_dedup.py."""
     from ..operators import dedup
 
+    NH, BANDS = 32, 8
+    ROWS = NH // BANDS
+
     def q(spark: SparkSession, sf: str) -> DataFrame:
         return dedup.minhash_lsh_pairs(
-            tables.load(spark, sf, "documents"), threshold=JACCARD_T
+            tables.load(spark, sf, "documents"), threshold=JACCARD_T,
+            num_hashes=NH, bands=BANDS, hasher="md5",
         )
 
-    return q, None
+    P = dedup.MINHASH_P
+    hp = f"(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {P})"
+    mins = ", ".join(
+        f"min(({hp} * {a} + {b}) % {P}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.minhash_coeffs(NH))
+    )
+    band_pred = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh_{b * ROWS + r} = b.mh_{b * ROWS + r}" for r in range(ROWS)
+        )
+        + ")"
+        for b in range(BANDS)
+    )
+    sql = (
+        "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+        "FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i) WHERE len(t) >= 3), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id), "
+        "cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
+        f"ON a.doc_id < b.doc_id AND ({band_pred})), "
+        "common AS (SELECT cd.d1, cd.d2, count(*) AS c FROM cand cd "
+        "JOIN sh sa ON sa.doc_id = cd.d1 JOIN sh sb ON sb.doc_id = cd.d2 AND sb.s = sa.s "
+        "GROUP BY cd.d1, cd.d2) "
+        "SELECT d1, d2, round(c / (na.n + nb.n - c), 6) AS jaccard "
+        "FROM common JOIN sizes na ON na.doc_id = d1 JOIN sizes nb ON nb.doc_id = d2 "
+        f"WHERE round(c / (na.n + nb.n - c), 6) >= {flit(JACCARD_T)}"
+    )
+    return q, sql
 
 
 def _q_simhash():
