@@ -590,6 +590,7 @@ def ivf_cosine_nn(
     n_probe: int = 3,
     lloyd_iters: int = 3,
     seed: int = 13,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate NN via an IVF (inverted-file) index — the second scale
     path next to hyperplane LSH: deterministic hash-sampled seed centroids,
@@ -621,18 +622,24 @@ def ivf_cosine_nn(
         ).alias("_v"),
     ).localCheckpoint(eager=True)
 
-    # deterministic seed centroids: the n_centroids vectors with the
-    # smallest keyed hash (order- and partition-independent)
-    from ..functions.rng import u_sql
+    if centroids is not None:
+        # caller-provided coarse quantizer (e.g. a frozen or closed-form
+        # table — the exact-oracle path): skip seeding AND Lloyd
+        cents = [(int(c), [float(v) for v in vecs]) for c, vecs in centroids]
+        lloyd_iters = 0
+    else:
+        # deterministic seed centroids: the n_centroids vectors with the
+        # smallest keyed hash (order- and partition-independent)
+        from ..functions.rng import u_sql
 
-    seeds = (
-        e.withColumn("_u", F.expr(u_sql("abs(xxhash64(_id))", 31, seed)))
-        .orderBy("_u", "_id")
-        .limit(n_centroids)
-        .select("_v")
-        .collect()
-    )
-    cents = [(i, [float(x) for x in r["_v"]]) for i, r in enumerate(seeds)]
+        seeds = (
+            e.withColumn("_u", F.expr(u_sql("abs(xxhash64(_id))", 31, seed)))
+            .orderBy("_u", "_id")
+            .limit(n_centroids)
+            .select("_v")
+            .collect()
+        )
+        cents = [(i, [float(x) for x in r["_v"]]) for i, r in enumerate(seeds)]
 
     DOT = (
         "aggregate(zip_with(_v, _c, (p, q) -> p * q), CAST(0.0 AS DOUBLE), "

@@ -1216,18 +1216,76 @@ def _q_simhash_pairs():
     return q, sql
 
 
+_TAG_IVF = 33
+_IVF_DIM, _IVF_NC, _IVF_PROBE = 64, 16, 3
+
+
+def _ivf_centroids() -> list[tuple[int, list[float]]]:
+    """Closed-form coarse quantizer: c[j][d] = (u(j*64 + d + 1)*2 - 1)/64
+    from the shared hash-RNG — the SAME values the oracle recomputes in SQL
+    (bit-equal doubles: *2, -1, /64 are all exact or identically-rounded
+    IEEE ops), which is what makes the IVF entry exactly checkable. The /64
+    keeps ||c|| <= 1/8 so the packed (round(dot*1e9), cid) BIGINT cannot
+    overflow (the Lloyd path guarantees ||c|| <= 1 as a mean of unit
+    vectors; a literal table must bound itself). The Lloyd-trained default
+    stays pinned by recall tests."""
+    import numpy as np
+
+    from ..functions import rng as _rng
+
+    out = []
+    for j in range(_IVF_NC):
+        ids = np.arange(_IVF_DIM, dtype=np.int64) + j * _IVF_DIM + 1
+        u = _rng.u_np(ids, _TAG_IVF, SEED)
+        out.append((j, [float(v) for v in (u * 2.0 - 1.0) / 64.0]))
+    return out
+
+
 def _q_ivf_nn():
-    """IVF approximate NN over the embeddings table; rows-only (centroid
-    iteration is not set-SQL-expressible), recall + determinism pinned by
-    tests/test_dedup.py."""
+    """IVF approximate NN over the embeddings table with the closed-form
+    quantizer — EXACT oracle (r02 verdict item 5): DuckDB recomputes the
+    centroids from the hash-RNG formula, the packed (round(dot*1e9), cid)
+    assignment/probing, the candidate lists, and the packed final argmax —
+    the same ANN answer from plain SQL. The Lloyd-trained path (not
+    set-SQL-expressible: distributed float avg is summation-order-
+    dependent) stays covered by recall/determinism pytests."""
+    from ..functions.rng import u_sql
     from ..operators import dedup
 
     def q(spark: SparkSession, sf: str) -> DataFrame:
         return dedup.ivf_cosine_nn(
-            tables.load(spark, sf, "embeddings"), n_centroids=16, n_probe=3
+            tables.load(spark, sf, "embeddings"),
+            n_probe=_IVF_PROBE, centroids=_ivf_centroids(),
         )
 
-    return q, None
+    PACK = 1 << 32
+    u_c = u_sql(f"cid * {_IVF_DIM} + d + 1", _TAG_IVF, SEED)
+    sql = (
+        f"WITH cent AS (SELECT cid, list(u ORDER BY d) AS c FROM ("
+        f"SELECT cid, d, (({u_c}) * 2 - 1) / 64 AS u "
+        f"FROM (SELECT unnest(range(0, {_IVF_NC})) AS cid) "
+        f"CROSS JOIN (SELECT unnest(range(0, {_IVF_DIM})) AS d)) GROUP BY cid), "
+        "e0 AS (SELECT vec_id AS id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v0 "
+        "FROM embeddings), "
+        "e AS (SELECT id, list_transform(v0, v -> v / "
+        f"greatest(sqrt(list_dot_product(v0, v0)), {flit(1e-12)})) AS v FROM e0), "
+        "pk AS (SELECT id, cid, (1000000000 - CAST(round(list_dot_product(v, c) "
+        f"* 1000000000, 0) AS BIGINT)) * {PACK} + cid AS pk FROM e CROSS JOIN cent), "
+        f"lists AS (SELECT id, pk % {PACK} AS cid FROM "
+        "(SELECT id, min(pk) AS pk FROM pk GROUP BY id)), "
+        "probes AS (SELECT id, cid FROM (SELECT id, cid, "
+        "row_number() OVER (PARTITION BY id ORDER BY pk) AS rn FROM pk) "
+        f"WHERE rn <= {_IVF_PROBE}), "
+        "cand AS (SELECT DISTINCT p.id AS id_a, l.id AS id_b FROM probes p "
+        "JOIN lists l ON p.cid = l.cid AND p.id <> l.id), "
+        "scored AS (SELECT id_a, id_b, round(list_dot_product(va.v, vb.v), 6) AS cos "
+        "FROM cand JOIN e va ON va.id = id_a JOIN e vb ON vb.id = id_b), "
+        "fin AS (SELECT id_a, min((1000000 - CAST(round(cos * 1000000, 0) AS BIGINT)) "
+        f"* {PACK} + id_b) AS pk FROM scored GROUP BY id_a) "
+        f"SELECT id_a AS vec_id, pk % {PACK} AS nn_id, "
+        f"(1000000 - pk // {PACK}) / {flit(1e6)} AS cos FROM fin"
+    )
+    return q, sql
 
 
 def _q_minhash_lsh():
