@@ -68,13 +68,15 @@ def build_jobs(spark, sf_dir):
     def _k_joinfree():
         # pipeline shape: originals ride through the mask as payload, so
         # the displacement radius is a projection — NO pid-join of the fact
-        # table (at 100 TB that join is a full-table shuffle; here it was
-        # ~40% of the job's wall-time). Values identical to the general
+        # table; slim=True additionally removes the final join-back (each
+        # point rides once into the pair stream, count = k). ZERO fact
+        # joins end-to-end; values identical to the general
         # displacement-join path (contract-verified).
         m = donut(analysis.with_original(pts), 100.0, 500.0, seed=42)
         disp = analysis.displacement_from_payload(m)
         return analysis.k_anonymity_address(
-            pts, m.drop("_orig_x", "_orig_y"), addr, max_radius=500.0, disp=disp
+            pts, m.drop("_orig_x", "_orig_y"), addr, max_radius=500.0,
+            disp=disp, slim=True,
         )
 
     def q_k_verify(_=None):

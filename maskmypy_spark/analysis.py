@@ -159,6 +159,7 @@ def k_anonymity_address(
     salt: int = 0,
     broadcast_addr: bool = False,
     disp: DataFrame | None = None,
+    slim: bool = False,
 ) -> DataFrame:
     """Address-based spatial k-anonymity (reference analysis.py:582-596):
     k = 1 + #addresses within the closed disk of radius = per-point
@@ -174,6 +175,15 @@ def k_anonymity_address(
     ``disp`` optionally reuses a precomputed displacement frame (a
     DataFrame with a ``_distance`` column from :func:`displacement`) so
     composite evaluations don't run the pid-join twice.
+
+    ``slim=True`` returns only (key, x, y, k_anonymity) — and removes the
+    fact-table join-back entirely: each point rides ONCE into the pair
+    stream (union-all) before the count aggregate, so ``count = npairs +
+    1 = k`` including the zero-address k=1 rows. One exchange total (the
+    aggregate) instead of aggregate + a second full-fact shuffle join —
+    the preferred shape when downstream only needs the k column (the
+    satisfaction pipeline, monitoring sinks). Values are identical to the
+    general path (contract-verified).
     """
     if disp is not None:
         cand = disp.withColumnRenamed("_distance", "_radius")
@@ -186,6 +196,13 @@ def k_anonymity_address(
         radius=float(max_radius), lx=x, ly=y, rx=ax, ry=ay, salt=salt,
         broadcast_right=broadcast_addr,
     ).where(F.col("dist") <= F.col("_radius"))
+    if slim:
+        return (
+            pairs.select(key, x, y)
+            .unionByName(cand.select(key, x, y))
+            .groupBy(key, x, y)
+            .agg(F.count(F.lit(1)).alias("k_anonymity"))
+        )
     counts = pairs.groupBy(key).agg((F.count(F.lit(1)) + 1).alias("k_anonymity"))
     return (
         cand.join(counts, key, "left")

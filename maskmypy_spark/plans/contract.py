@@ -413,8 +413,17 @@ def _kdf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_k_anonymity():
+    """Gates the ``slim=True`` union-all k path (no fact-table join-back);
+    the general join-back path stays gated via the suppress / k_satisfaction
+    / summarize_k / street_k entries, which all build on ``_kdf``."""
+
     def q(spark: SparkSession, sf: str) -> DataFrame:
-        return _kdf(spark, sf).select("pid", "k_anonymity")
+        sens = _sens(spark, sf)
+        m = donut(sens, LOW, HIGH, SEED, "uniform")
+        k = analysis.k_anonymity_address(
+            sens, m, tables.address_df(spark, sf), max_radius=HIGH, slim=True
+        )
+        return k.select("pid", "k_anonymity")
 
     sql = f"{_K_CTE} SELECT pid, k_anonymity FROM kt"
     return q, sql

@@ -190,6 +190,19 @@ def test_k_verify_pipeline_plan_quality(spark):
     n_joins = sum(1 for ln in simple.splitlines() if "Join" in ln)
     assert n_joins <= 2, simple
 
+    # slim path: the join-back disappears too — ONE join total (the
+    # annulus cell join), and values match the general path exactly
+    ks = analysis.k_anonymity_address(
+        pts, m.drop("_orig_x", "_orig_y"), addr, max_radius=500.0,
+        disp=disp, slim=True,
+    )
+    simple = _plan(ks.select("pid", "k_anonymity"), mode="simple")
+    n_joins = sum(1 for ln in simple.splitlines() if "Join" in ln)
+    assert n_joins <= 1, simple
+    a = {(r["pid"], r["k_anonymity"]) for r in ks.collect()}
+    b = {(r["pid"], r["k_anonymity"]) for r in k.select("pid", "k_anonymity").collect()}
+    assert a == b
+
 
 def test_mask_filter_pushdown_to_scan(spark):
     """A filter on the derived key pushes down to the parquet scan."""
