@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import cells
+from ..functions.rng import flit
 
 
 def dist_sql(x1: str, y1: str, x2: str, y2: str) -> str:
@@ -46,6 +47,7 @@ def distance_join(
     salt: int = 0,
     extra_on: list[tuple[str, str]] | None = None,
     explode_side: str = "right",
+    left_radius_col: str | None = None,
 ) -> DataFrame:
     """Inner join of all (left, right) pairs with distance <= radius.
 
@@ -59,7 +61,47 @@ def distance_join(
     ring² copies of the dimension table shuffle far cheaper than of the
     fact table. Default 'right' — engine callers pass the big point table
     on the left and the dimension (addresses/nodes) on the right.
+
+    ``left_radius_col`` switches to the PER-ROW-radius variant (the
+    k-verification shape): the join predicate becomes ``dist <=
+    left[left_radius_col]`` and the LEFT side explodes an ADAPTIVE ring
+    sized to each row's own radius — a small-radius point probes 1 cell, a
+    max-radius point (2*ceil(r/cs)+1)². At the default ``cs = radius / 2``
+    this tracks each point's true disk instead of the global max, cutting
+    candidate volume ~1.4x on uniform-radius workloads (measured at sf0.1)
+    and more when radii are skewed small; the right side stays one row per
+    cell. ``radius`` must still upper-bound the per-row radii it is the
+    cs heuristic; rows above it are still found (the ring is per-row).
     """
+    if left_radius_col is not None:
+        cs = float(cs or radius / 2.0)
+        base = cells.cell_sql(lx, ly, cs)
+        ring_n = f"CAST(ceil(({left_radius_col}) / {flit(cs)}) AS BIGINT)"
+        ringlist = (
+            f"flatten(transform(sequence(-{ring_n}, {ring_n}), dx -> "
+            f"transform(sequence(-{ring_n}, {ring_n}), dy -> "
+            f"({base}) + dx * {cells.CELL_K} + dy)))"
+        )
+        lt = left.withColumn("_cell", F.explode(F.expr(ringlist)))
+        rt = right.withColumn("_cell", F.expr(cells.cell_sql(rx, ry, cs)))
+        if salt > 1:
+            lt = lt.withColumn("_salt", (F.xxhash64(lx, ly) % salt + salt) % salt)
+            rt = rt.withColumn(
+                "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+            )
+            on = ["_cell", "_salt"]
+        else:
+            on = ["_cell"]
+        if broadcast_right:
+            rt = F.broadcast(rt)
+        d = F.expr(dist_sql(lx, ly, rx, ry))
+        return (
+            lt.join(rt, on=on)
+            .where(d <= F.col(left_radius_col))
+            .withColumn(dist_col, d)
+            .drop("_cell", "_salt")
+        )
+
     cs = float(cs or radius)
     ring = cells.ring_for_radius(radius, cs)
     offs = cells.ring_offsets(ring)
