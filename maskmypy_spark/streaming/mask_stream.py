@@ -60,13 +60,16 @@ def k_verify_stream(
     non-null address keys); an inner join would silently drop exactly the
     points a k-satisfaction monitor most needs to see.
 
-    Note: pairs are only guaranteed found within ``high`` of the masked
-    point (the cell-ring radius); a gaussian-distribution displacement can
-    exceed ``high``, under-counting k for those rare rows — use the batch
-    verifier for post-hoc audits of gaussian masks.
+    The stream side explodes an ADAPTIVE cell ring sized to each row's own
+    displacement (distance_join's left_radius_col pattern): small
+    displacements probe one cell, and a gaussian displacement exceeding
+    ``high`` still probes far enough — no under-count (a point exploded
+    into n cells still aggregates correctly: non-matching exploded rows
+    contribute NULL aid, and a pair meets in exactly one cell).
 
     Returns (window, pid, k_anonymity)."""
     from ..functions import cells
+    from ..functions.rng import flit
     from ..operators.distance_join import dist_sql
 
     # keep originals as payload columns so the displacement radius is a
@@ -76,16 +79,19 @@ def k_verify_stream(
     )
     masked = donut(pts, low, high, seed, key=key, x=x, y=y)
     masked = masked.withColumn("_radius", F.expr(dist_sql(x, y, "_orig_x", "_orig_y")))
-    cs = float(high)
-    lt = masked.withWatermark(ts, watermark).withColumn(
-        "_cell", F.expr(cells.cell_sql(x, y, cs))
+    cs = float(high) / 2.0
+    base = cells.cell_sql(x, y, cs)
+    ring_n = f"CAST(ceil(_radius / {flit(cs)}) AS BIGINT)"
+    ringlist = (
+        f"flatten(transform(sequence(-{ring_n}, {ring_n}), dx -> "
+        f"transform(sequence(-{ring_n}, {ring_n}), dy -> "
+        f"({base}) + dx * {cells.CELL_K} + dy)))"
     )
-    rcell = F.expr(cells.cell_sql("ax", "ay", cs))
+    lt = masked.withWatermark(ts, watermark).withColumn(
+        "_cell", F.explode(F.expr(ringlist))
+    )
     rt = F.broadcast(
-        address.withColumn(
-            "_cell",
-            F.explode(F.array(*[rcell + F.lit(o) for o in cells.ring_offsets(1)])),
-        )
+        address.withColumn("_cell", F.expr(cells.cell_sql("ax", "ay", cs)))
     )
     d = F.expr(dist_sql(x, y, "ax", "ay"))
     pairs = lt.join(
