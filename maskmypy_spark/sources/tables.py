@@ -95,10 +95,17 @@ def nodes_select() -> str:
 
 
 def big_points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-scale point table with a UNIQUE pid — the engine's row-identity
+    contract (SURVEY §1.2). The driver's synthetic lineitem contains
+    duplicate (l_orderkey, l_linenumber) pairs (~24% at sf0.1), so the
+    derived key must be de-duplicated: duplicate pids would otherwise fan
+    out every key-equi-join (voronoi's neighbor join-back emitted 1.38x
+    rows) and make per-key semantics ill-defined."""
     t, k = BIG
-    x, y = xy_sql(k)
-    return load(spark, sf_dir, t).select(
-        F.expr(f"CAST({k} AS BIGINT)").alias("pid"),
-        F.expr(x).alias("x"),
-        F.expr(y).alias("y"),
+    x, y = xy_sql("pid")
+    return (
+        load(spark, sf_dir, t)
+        .select(F.expr(f"CAST({k} AS BIGINT)").alias("pid"))
+        .distinct()
+        .select("pid", F.expr(x).alias("x"), F.expr(y).alias("y"))
     )

@@ -139,6 +139,21 @@ def test_nearest_neighbor_argmin_hash_aggregates(spark, monkeypatch):
     assert "HashAggregate" in plan
 
 
+def test_nearest_neighbor_results_cs_independent(spark):
+    """The starting cell size is a pure performance knob: results must be
+    identical at any cs (the escalation loop guarantees exactness; the
+    quantized argmin's granularity is sub-micrometer at every round)."""
+    from maskmypy_spark.operators.voronoi import voronoi
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(400, seed=42))
+    outs = [
+        {tuple(r) for r in voronoi(pts, cs=cs).collect()}
+        for cs in (150.0, 450.0, 1350.0, None)
+    ]
+    assert all(o == outs[0] for o in outs[1:])
+    assert len(outs[0]) == 400
+
+
 def test_nearest_neighbor_salted_join_shape(spark, monkeypatch):
     """salt=4 must appear in the shuffle key (hot-cell scatter) and leave
     results identical to the unsalted plan."""
