@@ -65,6 +65,11 @@ def donut(
     seed = rng.gen_seed() if not seed else seed  # falsy-seed quirk preserved (donut.py:74)
     if snap_to_streets and street_nodes is None:
         raise ValueError("snap_to_streets=True requires street_nodes (node_id, nx, ny).")
+    from ..functions import meta
+
+    meta.validate_point_layer(df, key, x, y)  # reference tools.py:165-169
+    if street_nodes is not None:  # reference tools.py:172-180
+        meta.validate_crs((df, x), (street_nodes, "nx"))
 
     def _post(out: DataFrame) -> DataFrame:
         if not snap_to_streets:

@@ -54,6 +54,11 @@ def locationswap(
     seed = rng.gen_seed() if not seed else seed
     if snap_to_streets and street_nodes is None:
         raise ValueError("snap_to_streets=True requires street_nodes (node_id, nx, ny).")
+    from ..functions import meta
+
+    meta.validate_point_layer(df, key, x, y)      # reference tools.py:165-169
+    meta.validate_point_layer(address, akey, ax, ay)
+    meta.validate_crs((df, x), (address, ax))     # reference tools.py:172-180
 
     cand = distance_join(
         df.select(key, x, y), address.select(akey, ax, ay), radius=high,

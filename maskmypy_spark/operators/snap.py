@@ -25,6 +25,10 @@ def snap_to_nodes(
     cs: float | None = None,
     broadcast_nodes: bool = False,
 ) -> DataFrame:
+    from ..functions import meta
+
+    meta.validate_point_layer(df, key, x, y)  # reference tools.py:165-169
+    meta.validate_crs((df, x), (nodes, nx))   # reference tools.py:172-180
     nn = nearest_neighbor(
         df, nodes, key=key, x=x, y=y, okey=node_key, ox=nx, oy=ny,
         cs=cs, broadcast_others=broadcast_nodes,

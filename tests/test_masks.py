@@ -363,3 +363,24 @@ def test_mark_unmasked_idiom(spark, points):
     assert all(got[p] == 0 for p in got if p >= 5)
     assert all(got[p] == 1 for p in got if p < 5)
     assert sum(got.values()) == 5
+
+
+def test_crs_validation_analogue(spark, points, addresses):
+    """A18 (reference tools.py:165-180): tagged layers with mismatched CRS
+    raise; matching or untagged layers pass; non-numeric geometry columns
+    raise the geometry-kind error."""
+    from maskmypy_spark.functions import meta
+    from maskmypy_spark.operators.locationswap import locationswap
+
+    p = meta.with_crs(points, "EPSG:26910")
+    a_ok = meta.with_crs(addresses, "EPSG:26910", x="ax")
+    a_bad = meta.with_crs(addresses, "EPSG:4326", x="ax")
+    assert meta.crs_of(p) == "EPSG:26910"
+    locationswap(p, 50.0, 300.0, a_ok, seed=1)          # matching: fine
+    locationswap(points, 50.0, 300.0, a_bad, seed=1)    # one untagged: exempt
+    with pytest.raises(ValueError, match="matching CRS"):
+        locationswap(p, 50.0, 300.0, a_bad, seed=1)
+
+    bad = points.withColumn("x", F.col("x").cast("string"))
+    with pytest.raises(ValueError, match="Unexpected geometry type"):
+        locationswap(bad, 50.0, 300.0, addresses, seed=1)
