@@ -61,6 +61,35 @@ def doc_quality(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ANY word
+    ``n``-gram with an evaluation set (the standard 13-gram rule from the
+    GPT-3/PaLM data pipelines). Returns (train doc_id AS ``doc_id``,
+    n_test_docs hit, n_shared_ngrams) — one row per CONTAMINATED train doc;
+    the caller anti-joins to drop them.
+
+    Scale shape: both sides reduce to DISTINCT shingles (one projection +
+    dedup each), then ONE equi-join on the shingle string — the test side
+    is tiny next to the training corpus, so the join broadcasts; shuffle
+    volume is bounded by the contaminated overlap, never the corpus."""
+    tr = shingles(train, key, text, n).withColumnRenamed(key, "_tr")
+    te = shingles(test, key, text, n).withColumnRenamed(key, "_te")
+    hits = tr.join(F.broadcast(te), "shingle")
+    return (
+        hits.groupBy(F.col("_tr").alias(key))
+        .agg(
+            F.countDistinct("_te").alias("n_test_docs"),
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+        )
+    )
+
+
 # Stopword profiles for the n-gram/function-word language-ID heuristic —
 # the standard cheap pre-filter of web-scale corpora (a real pipeline swaps
 # in fastText/CLD3 scores through the same operator shape).

@@ -1003,6 +1003,36 @@ def _q_ngram_jaccard():
     return q, sql
 
 
+def _q_decontaminate():
+    """Benchmark decontamination (GPT-3/PaLM 13-gram rule; n=5 here so the
+    fixture's planted cross-parity duplicates actually collide): train =
+    even doc_ids, eval = odd; exact oracle over the shared shingle join."""
+    from ..operators import dedup
+
+    N = 5
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        docs = tables.load(spark, sf, "documents")
+        return dedup.decontaminate(
+            docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"), n=N
+        )
+
+    idx = " || ' ' || ".join(f"t[i + {j}]" for j in range(N))
+    half = (
+        "SELECT DISTINCT doc_id, {idx} AS s FROM toks, "
+        f"UNNEST(generate_series(1, len(t) - {N - 1})) AS u(i) "
+        f"WHERE len(t) >= {N} AND doc_id % 2 = {{par}}"
+    ).replace("{idx}", idx)
+    sql = (
+        "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+        f"tr AS ({half.format(par=0)}), te AS ({half.format(par=1)}) "
+        "SELECT tr.doc_id, count(DISTINCT te.doc_id) AS n_test_docs, "
+        "count(DISTINCT tr.s) AS n_shared_ngrams "
+        "FROM tr JOIN te ON tr.s = te.s GROUP BY tr.doc_id"
+    )
+    return q, sql
+
+
 def _q_cosine_nn():
     from ..operators import dedup
 
@@ -1399,6 +1429,7 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["dedup_exact"] = _q_dedup_exact()
     reg["doc_fingerprint"] = _q_fingerprint()
     reg["dedup_ngram_jaccard"] = _q_ngram_jaccard()
+    reg["decontaminate"] = _q_decontaminate()
     reg["embed_cosine_nn"] = _q_cosine_nn()
     reg["embed_ivf_nn"] = _q_ivf_nn()
     reg["dedup_minhash_lsh"] = _q_minhash_lsh()

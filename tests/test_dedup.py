@@ -258,3 +258,16 @@ def test_cosine_nn_lsh_high_dim(spark):
     approx = {r["vec_id"]: r["nn_id"] for r in dedup.cosine_nn_lsh(emb, planes=10, tables=6).collect()}
     hits = sum(1 for k in exact if approx.get(k) == exact[k])
     assert hits / len(exact) >= 0.8
+
+
+def test_decontaminate_planted_dup(docs):
+    """The fixture's exact duplicate pair (7, 2000) spans the even/odd
+    split: train doc 2000 must be flagged as contaminated by eval doc 7."""
+    out = {
+        r["doc_id"]: (r["n_test_docs"], r["n_shared_ngrams"])
+        for r in dedup.decontaminate(
+            docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"), n=5
+        ).collect()
+    }
+    assert 2000 in out
+    assert out[2000][0] >= 1 and out[2000][1] >= 1
