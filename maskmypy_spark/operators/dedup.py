@@ -61,6 +61,43 @@ def doc_quality(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
     )
 
 
+TAG_SAMPLE = 10  # draw-site tag for hash_sample (disjoint from rng.py tags)
+
+# PII patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB) so the scrub has an exact cross-engine oracle.
+PII_PATTERNS = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\+?\d[\d -]{7,14}\d\b", "[PHONE]"),
+)
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key: str = "doc_id", seed: int = 1
+) -> DataFrame:
+    """Deterministic corpus sampling: keep rows whose keyed hash-uniform is
+    below ``rate``. Unlike ``df.sample`` the decision is a PURE FUNCTION of
+    (key, seed) — independent of partitioning, task retries, and cluster
+    size, so a sample drawn at 1000 executors replays bit-identically on a
+    laptop, and disjoint seeds give independent samples (train/val/test
+    splits). Plain filter: pushes down, no shuffle."""
+    from ..functions.rng import u_sql
+
+    return df.where(F.expr(u_sql(key, TAG_SAMPLE, seed)) < float(rate))
+
+
+def scrub_pii(df: DataFrame, text: str = "text", out: str | None = None) -> DataFrame:
+    """Redact emails / IPv4s / phone-like digit runs with typed placeholder
+    tokens (the standard pre-training scrub). Chained ``regexp_replace``
+    column expressions — whole-stage codegen, no UDF; patterns are
+    deliberately RE2-compatible (see PII_PATTERNS) so the DuckDB oracle is
+    exact."""
+    col = F.col(text)
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out or text, col)
+
+
 def decontaminate(
     train: DataFrame,
     test: DataFrame,

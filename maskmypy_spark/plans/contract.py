@@ -1003,6 +1003,52 @@ def _q_ngram_jaccard():
     return q, sql
 
 
+def _q_doc_sample():
+    """Deterministic hash sampling (train/val split machinery): the keep
+    decision is a pure function of (key, seed) — exact oracle by the shared
+    hash-RNG expression."""
+    from ..functions.rng import u_sql
+    from ..operators import dedup
+
+    RATE = 0.25
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        docs = tables.load(spark, sf, "documents").select("doc_id")
+        return dedup.hash_sample(docs, RATE, seed=SEED)
+
+    sql = (
+        "SELECT doc_id FROM documents "
+        f"WHERE ({u_sql('doc_id', dedup_mod().TAG_SAMPLE, SEED)}) < {flit(RATE)}"
+    )
+    return q, sql
+
+
+def _q_pii_scrub():
+    """PII redaction over text with PLANTED email/IP/phone strings (the
+    fixture corpus is a clean word salad, so every 7th doc gets a synthetic
+    contact line appended via the same SQL derivation on both engines);
+    RE2-compatible patterns make the oracle exact. DuckDB needs the 'g'
+    flag for replace-all (Spark's regexp_replace is always global)."""
+    from ..operators import dedup
+
+    plant = (
+        "CASE WHEN doc_id % 7 = 0 THEN ' mail bob@example.com ip 10.0.0.1 "
+        "call +1 555 123 4567' ELSE '' END"
+    )
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        docs = tables.load(spark, sf, "documents").withColumn(
+            "text", F.expr(f"text || {plant}")
+        )
+        return dedup.scrub_pii(docs).select("doc_id", "text")
+
+    inner = f"text || {plant}"
+    for pat, repl in dedup.PII_PATTERNS:
+        inner = f"regexp_replace({inner}, '{pat}', '{repl}', 'g')"
+    sql = f"SELECT doc_id, {inner} AS text FROM documents"
+    return q, sql
+
+
 def _q_decontaminate():
     """Benchmark decontamination (GPT-3/PaLM 13-gram rule; n=5 here so the
     fixture's planted cross-parity duplicates actually collide): train =
@@ -1430,6 +1476,8 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["doc_fingerprint"] = _q_fingerprint()
     reg["dedup_ngram_jaccard"] = _q_ngram_jaccard()
     reg["decontaminate"] = _q_decontaminate()
+    reg["doc_sample"] = _q_doc_sample()
+    reg["pii_scrub"] = _q_pii_scrub()
     reg["embed_cosine_nn"] = _q_cosine_nn()
     reg["embed_ivf_nn"] = _q_ivf_nn()
     reg["dedup_minhash_lsh"] = _q_minhash_lsh()

@@ -271,3 +271,30 @@ def test_decontaminate_planted_dup(docs):
     }
     assert 2000 in out
     assert out[2000][0] >= 1 and out[2000][1] >= 1
+
+
+def test_hash_sample_deterministic_and_partition_independent(docs):
+    a = {r["doc_id"] for r in dedup.hash_sample(docs, 0.3, seed=5).collect()}
+    b = {r["doc_id"] for r in dedup.hash_sample(docs.repartition(13), 0.3, seed=5).collect()}
+    c = {r["doc_id"] for r in dedup.hash_sample(docs, 0.3, seed=6).collect()}
+    assert a == b and a != c
+    assert 0.15 < len(a) / docs.count() < 0.45
+    # disjoint-seed splits are independent draws, not complements
+    assert a & c and (a - c)
+
+
+def test_scrub_pii_redacts_planted_strings(spark):
+    import pandas as pd
+
+    rows = [
+        (0, "write to alice.smith+x@corp.example.org today"),
+        (1, "server at 192.168.10.7 answered"),
+        (2, "call +1 604 555 0199 or 604-555-0111 now"),
+        (3, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r["text"] for r in dedup.scrub_pii(df).collect()}
+    assert "[EMAIL]" in got[0] and "@" not in got[0]
+    assert "[IP]" in got[1] and "192.168" not in got[1]
+    assert "[PHONE]" in got[2] and "0199" not in got[2] and "0111" not in got[2]
+    assert got[3] == rows[3][1]
