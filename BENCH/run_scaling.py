@@ -57,10 +57,17 @@ spark.sparkContext.setLogLevel("ERROR")
 
 # Synthetic point tables generated JVM-side at any scale (no driver memory):
 # same derivation as sources/tables.py but over spark.range.
+import math
+# box area scales with n (constant density): per-point work is then
+# n-independent, so row count controls TOTAL work without changing the
+# workload shape — necessary once the round-3 adaptive join made the jobs
+# fast enough to be overhead-bound at the old fixed 1M-row size
+_BS = math.sqrt(n / 1_000_000.0)
+
 def pts_df(n, tag_salt=0):
     df = spark.range(1, n + 1, 1, max(cores * 4, 8)).withColumnRenamed("id", "pid")
-    x = f"({_rng.u_sql('pid', 101 + tag_salt, 1234)}) * 2.0e4"
-    y = f"({_rng.u_sql('pid', 102 + tag_salt, 1234)}) * 1.0e4"
+    x = f"({_rng.u_sql('pid', 101 + tag_salt, 1234)}) * {2.0e4 * _BS:.10e}"
+    y = f"({_rng.u_sql('pid', 102 + tag_salt, 1234)}) * {1.0e4 * _BS:.10e}"
     return df.select("pid", F.expr(x).alias("x"), F.expr(y).alias("y"))
 
 # address density calibrated to realistic k (~40 at the 100-500m donut):
@@ -167,8 +174,9 @@ def main() -> None:
         "(Fully generated by BENCH/run_scaling.py — do not hand-edit; one-off",
         "measurements and rationale live in BENCH/NOTES.md.)",
         "",
-        f"Input: {n:,} synthetic points (hash-derived, seed 1234), addresses = n/20",
-        "(density calibrated to realistic k ~ 40). Protocol: per level, 1 warmup +",
+        f"Input: {n:,} synthetic points (hash-derived, seed 1234), addresses = n/20,",
+        "box area scaled with n (constant density => constant per-point work;",
+        "density calibrated to realistic k ~ 40). Protocol: per level, 1 warmup +",
         f"{os.environ.get('SCALING_RUNS', '3')} timed runs, median wall-time; levels run in separate subprocesses (one",
         "JVM = one local[N] master). The north rule's N -> 4N executor criterion",
         f"is evidenced at N={levels[0]} -> 4N={levels[1] if len(levels) > 1 else '?'} cores"
