@@ -63,6 +63,49 @@ def reencode(
     return images.mapInPandas(batches, schema=out_schema)
 
 
+def image_resize(
+    images: DataFrame,
+    out_w: int,
+    out_h: int,
+    key: str = "image_id",
+) -> DataFrame:
+    """Decode -> nearest-neighbor resample to (out_w, out_h) -> re-encode,
+    refreshing (bytes, w, h, phash); every other column passes through.
+    Nearest-neighbor keeps the kernel pure-numpy index arithmetic (no
+    scipy/PIL in env) and is deterministic: output pixel (i, j) takes
+    source pixel (floor(i*H/out_h), floor(j*W/out_w)) — the standard
+    thumbnailing step of an image-pretraining pipeline; plumbing (Arrow
+    batches, schema, bounded memory) identical to :func:`reencode`."""
+    import numpy as np
+    import pandas as pd
+
+    cols = images.columns
+    out_schema = images.schema
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            new_bytes, new_phash = [], []
+            for b, f0 in zip(pdf["bytes"], pdf["fmt"]):
+                img = imagecodec.decode(bytes(b), f0)
+                h, w = img.shape[:2]
+                ri = (np.arange(out_h) * h // out_h).astype(np.int64)
+                ci = (np.arange(out_w) * w // out_w).astype(np.int64)
+                img = img[ri][:, ci]
+                new_bytes.append(imagecodec.encode(img, f0))
+                new_phash.append(imagecodec.average_hash(img))
+            out = pdf.copy()
+            out["bytes"] = new_bytes
+            out["w"] = out_w
+            out["h"] = out_h
+            out["phash"] = pd.Series(new_phash, index=pdf.index, dtype="int64")
+            yield out[cols]
+
+    return images.mapInPandas(batches, schema=out_schema)
+
+
 def image_stats(images: DataFrame, key: str = "image_id") -> DataFrame:
     """Cheap per-image features (mean/std brightness per channel) — the
     feature-extraction step of a multimodal curation pipeline, decoded

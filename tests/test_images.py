@@ -115,3 +115,27 @@ def test_mask_preserves_image_payload(spark):
         img_m = imagecodec.decode(bytes(r["bytes"]), r["fmt"])
         assert np.allclose(img_o, img_m)
     assert moved == len(orig)
+
+
+def test_image_resize_semantics(spark):
+    """Nearest-neighbor resize: output dims/bytes decode to the expected
+    index-arithmetic resample of the source pixels; payload columns pass
+    through; phash refreshed."""
+    import numpy as np
+
+    from maskmypy_spark.operators import images as imops
+
+    src = fixtures.sensitive_images(spark, 16, seed=42).cache()
+    out = {r["image_id"]: r for r in imops.image_resize(src, 8, 6).collect()}
+    for r in src.collect():
+        o = out[r["image_id"]]
+        assert (o["w"], o["h"]) == (8, 6)
+        assert o["caption"] == r["caption"]
+        img = imagecodec.decode(bytes(r["bytes"]), r["fmt"])
+        h, w = img.shape[:2]
+        ri = (np.arange(6) * h // 6).astype(np.int64)
+        ci = (np.arange(8) * w // 8).astype(np.int64)
+        want = img[ri][:, ci]
+        got = imagecodec.decode(bytes(o["bytes"]), o["fmt"])
+        assert np.array_equal(got, want)
+        assert o["phash"] == imagecodec.average_hash(want)
