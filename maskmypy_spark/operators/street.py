@@ -134,8 +134,9 @@ def street(
     if n_nodes > max_graph_nodes:
         raise ValueError(
             f"Road graph has {n_nodes} nodes > max_graph_nodes={max_graph_nodes}; "
-            "the street mask materializes the graph on the driver. Partition the "
-            "network (e.g. mask per region) or raise the bound explicitly."
+            "the street mask materializes the graph on the driver. Use "
+            "street_by_region(...) (fully distributed, per-region subgraphs) "
+            "or raise the bound explicitly."
         )
     nodes_pdf = nodes.toPandas()
     edges_pdf = edges.toPandas()
