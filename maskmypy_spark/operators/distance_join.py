@@ -70,8 +70,8 @@ def distance_join(
     this tracks each point's true disk instead of the global max, cutting
     candidate volume ~1.4x on uniform-radius workloads (measured at sf0.1)
     and more when radii are skewed small; the right side stays one row per
-    cell. ``radius`` must still upper-bound the per-row radii it is the
-    cs heuristic; rows above it are still found (the ring is per-row).
+    cell. ``radius`` only sizes the default cs (pass the TYPICAL max); rows
+    whose radius exceeds it are still found exactly — the ring is per-row.
     """
     if left_radius_col is not None:
         cs = float(cs or radius / 2.0)
