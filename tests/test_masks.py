@@ -384,3 +384,35 @@ def test_crs_validation_analogue(spark, points, addresses):
     bad = points.withColumn("x", F.col("x").cast("string"))
     with pytest.raises(ValueError, match="Unexpected geometry type"):
         locationswap(bad, 50.0, 300.0, addresses, seed=1)
+
+
+def test_adaptive_radius_join_salted_and_plain_equal(points, addresses):
+    """The adaptive per-row-ring join (left_radius_col) must return exactly
+    the closed-disk pairs, with and without hot-cell salting."""
+    from maskmypy_spark.operators.distance_join import distance_join
+
+    cand = points.withColumn("_radius", 150.0 + (F.col("pid") % 4) * 100.0)
+
+    def pairs(salt):
+        j = distance_join(
+            cand.select("pid", "x", "y", "_radius"),
+            addresses.select("aid", "ax", "ay"),
+            radius=450.0, left_radius_col="_radius", salt=salt,
+        )
+        return {(r["pid"], r["aid"]) for r in j.select("pid", "aid").collect()}
+
+    a = pairs(0)
+    assert pairs(4) == a and len(a) > 0
+    # ground truth: brute-force closed disk at each row's own radius
+    import numpy as np
+
+    P = points.join(cand.select("pid", "_radius"), "pid").collect()
+    A = addresses.collect()
+    ax = np.array([r["ax"] for r in A]); ay = np.array([r["ay"] for r in A])
+    aid = np.array([r["aid"] for r in A])
+    want = set()
+    for r in P:
+        d = np.hypot(ax - r["x"], ay - r["y"])
+        for i in np.where(d <= r["_radius"])[0]:
+            want.add((r["pid"], int(aid[i])))
+    assert a == want
