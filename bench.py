@@ -7,7 +7,7 @@ Prints ONE JSON line:
 
 Headline jobs (the BASELINE.json metric: masked points/sec + k-anonymity
 verification wall-time):
-  q_donut_mask_600k    donut-mask the lineitem-derived point table
+  q_donut_mask         donut-mask the lineitem-derived point table (unique keys)
   q_k_verify           displacement-radius distance join vs orders-derived
                        addresses + count aggregate (closed-disk k)
   q_locationswap       annulus join + deterministic pick
