@@ -122,13 +122,15 @@ def build_jobs(spark, sf_dir):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # default protocol: 1 warmup + 1 timed run per job. The warmup absorbs
-    # JIT + AQE-statistics + cache effects that inflated first runs by
-    # 10-30% (the post-codegen-fix jobs are only seconds each at sf0.1, so
-    # doubling execution is cheap); medians-of-many belong to
-    # BENCH/run_scaling.py. Override via BENCH_WARMUP / BENCH_RUNS.
+    # default protocol: 1 warmup + median of 3 timed runs per job. The
+    # warmup absorbs JIT + AQE-statistics + cache effects that inflated
+    # first runs by 10-30%; run-to-run variance on this box is ±25-30%
+    # (GC, AQE replans), so a single run cannot resolve round-over-round
+    # deltas — the median of 3 can. Per-run times are published in the
+    # JSON (`runs_detail`) so readers can see the spread.
+    # Override via BENCH_WARMUP / BENCH_RUNS.
     warmups = int(os.environ.get("BENCH_WARMUP", "1"))
-    runs = int(os.environ.get("BENCH_RUNS", "1"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
 
     from maskmypy_spark.session import get_spark
 
@@ -137,6 +139,7 @@ def main() -> None:
     jobs, n_rows = build_jobs(spark, sf_dir)
 
     timings: dict[str, float] = {}
+    runs_detail: dict[str, list[float]] = {}
     for name, fn in jobs.items():
         for _ in range(warmups):
             fn()
@@ -145,6 +148,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             ts.append(time.perf_counter() - t0)
+        runs_detail[name] = [round(t, 3) for t in ts]
         ts.sort()
         timings[name] = round(ts[len(ts) // 2], 3)
 
@@ -161,6 +165,7 @@ def main() -> None:
         "mask_rows_per_sec": round(n_rows / timings["q_donut_mask"], 1),
         "mask_20m_rows_per_sec": round(20_000_000 / timings["q_mask_20m"], 1),
         "protocol": {"warmups": warmups, "runs": runs},
+        "runs_detail": runs_detail,
     }
     print(json.dumps(out))
 

@@ -352,6 +352,7 @@ def ripleys_k(
     key: str = "pid",
     x: str = "x",
     y: str = "y",
+    max_pairs: float | None = 5e7,
 ) -> DataFrame:
     """Ripley's K at ``steps`` support distances (reference analysis.py:
     288-336 via pointpats.k_test). Estimator (no edge correction):
@@ -368,10 +369,26 @@ def ripleys_k(
     the same single join, grouped by sim — the reference's 99 sequential
     pointpats runs become one shuffle.
 
+    Scale guard (``max_pairs``): the rule-of-thumb radius is bbox-scale, so
+    the self-join's expected candidate volume ~ n^2 * pi*max_dist^2 / A
+    grows quadratically with density — the one plan that would degenerate
+    toward all-pairs at 100x data. When the estimate exceeds ``max_pairs``
+    (default 5e7 candidate pairs), the point set is independently thinned
+    by the seeded hash-RNG to the largest m with m^2 * frac <= max_pairs
+    before the join. Ripley's K is INVARIANT under independent thinning
+    (each retained pair survives with probability p^2 and the normalizer
+    m(m-1) shrinks by the same factor in expectation), so the sampled
+    statistic is an unbiased estimate of the same K; a ``UserWarning``
+    reports m of n, and CSR envelopes simulate m points so the envelope
+    reflects the estimator actually used. ``max_pairs=None`` disables the
+    guard (exact, skew-unbounded — the reference's behavior).
+
     Returns (band, support, statistic) + per-band simulation envelope
     (sim_low, sim_high, pvalue) when simulations > 0.
     """
-    from .functions.rng import TAG_SIM, TAG_SIM_Y, u_sql
+    import math
+
+    from .functions.rng import TAG_KSAMPLE, TAG_SIM, TAG_SIM_Y, u_sql
 
     spark = df.sparkSession
     b = df.agg(
@@ -386,6 +403,26 @@ def ripleys_k(
     if not min_dist:
         min_dist = max_dist / steps
     import numpy as np
+
+    frac = min(1.0, math.pi * max_dist**2 / area) if area > 0 else 1.0
+    if max_pairs is not None and n * n * frac > max_pairs:
+        import warnings
+
+        m_target = max(2, int(math.sqrt(max_pairs / frac)))
+        p = m_target / n
+        df = df.where(
+            F.expr(u_sql(key, TAG_KSAMPLE, seed)) < F.lit(float(p))
+        ).localCheckpoint(eager=False)
+        n = df.count()
+        warnings.warn(
+            f"ripleys_k: candidate volume at max_dist={max_dist:.6g} would be "
+            f"~{frac:.3g} * n^2 pairs; thinned {b.n} -> {n} points "
+            f"(seeded hash sample, unbiased under independent thinning). "
+            "Pass max_pairs=None for the exact reference behavior or a "
+            "smaller explicit max_dist.",
+            UserWarning,
+            stacklevel=2,
+        )
 
     support = np.linspace(min_dist, max_dist, steps)
     scale = area / (n * (n - 1))
@@ -550,6 +587,7 @@ def evaluate(
     population: DataFrame | None = None,
     population_column: str = "pop",
     skip_slow: bool = True,
+    assert_complete: bool = False,
 ) -> dict:
     """Composite evaluation (reference analysis.py:15-79): central drift,
     displacement summary, NND deltas, optional Ripley-K RMSE
@@ -560,7 +598,17 @@ def evaluate(
     means polygon disaggregation (k_anonymity_polygon), (ax, ay) means
     address points. ``address`` is the address-points shorthand kept from
     the engine's original API. Returns a plain dict like the reference;
-    each stat is a tiny agg job."""
+    each stat is a tiny agg job.
+
+    Completeness contract: ``central_drift`` and the sensitive-side mean
+    center are derived from the inner-joined displacement frame, so they
+    equal the reference's per-table averages ONLY when ``candidate`` is
+    1:1-complete with ``sensitive`` on ``key`` — true for every mask this
+    engine produces (row-preserving by construction), but a custom mask
+    that drops or duplicates rows silently weights the averages by the
+    surviving join rows. Pass ``assert_complete=True`` to verify (two extra
+    count jobs): raises ``ValueError`` if the joined row count differs from
+    the sensitive row count."""
     stats: dict = {}
     # ONE displacement join feeds everything scalar: the original coords
     # ride along so central drift + the displacement summary collapse into
@@ -578,6 +626,16 @@ def evaluate(
         )
         .localCheckpoint(eager=True)
     )
+    if assert_complete:
+        n_joined, n_sens = disp.count(), sensitive.count()
+        if n_joined != n_sens:
+            raise ValueError(
+                f"evaluate(): candidate is not 1:1-complete with sensitive on "
+                f"'{key}' ({n_joined} joined rows vs {n_sens} sensitive rows); "
+                "central_drift/displacement stats would be weighted by the "
+                "surviving join rows — fix the candidate frame or compute the "
+                "standalone metrics (central_drift, displacement) per-table."
+            )
     head = (
         disp.agg(
             F.round(F.min("_distance"), 6).alias("displacement_min"),

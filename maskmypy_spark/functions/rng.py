@@ -58,6 +58,7 @@ TAG_SWAP = 6          # locationswap candidate pick
 TAG_STREET_N = 7      # street target node count draw
 TAG_SIM = 8           # Ripley CSR simulation draws (x)
 TAG_SIM_Y = 9         # Ripley CSR simulation draws (y)
+TAG_KSAMPLE = 10      # Ripley scale-guard point thinning draw
 
 
 def flit(v: float) -> str:

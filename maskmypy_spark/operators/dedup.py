@@ -238,7 +238,17 @@ def ngram_jaccard_pairs(
     if max_shingle_df == "auto":
         max_shingle_df = max(4096, int(df.count() * 0.01))
     if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
+        # The hot set must materialize anyway as the anti-join's broadcast
+        # build side; caching it makes the warn-count job the SAME aggregate
+        # the join reuses (the previous version ran the shingle groupBy
+        # twice — once eagerly for the count, once inside the join).
+        hot = (
+            sh.groupBy("shingle")
+            .count()
+            .where(F.col("count") > max_shingle_df)
+            .select("shingle")
+            .cache()
+        )
         n_hot = hot.count()
         if n_hot:
             import warnings
@@ -251,7 +261,7 @@ def ngram_jaccard_pairs(
                 UserWarning,
                 stacklevel=2,
             )
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.select(F.col(key).alias("d1"), "shingle")
     b = sh.select(F.col(key).alias("d2"), "shingle")
     common = (

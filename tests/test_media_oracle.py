@@ -1,0 +1,64 @@
+"""Cross-checks for the independent media-oracle derivations
+(plans/media_oracle.py) against the LIVE engine pure functions, so a drift
+in either path fails here with a per-image/per-clip diagnosis instead of an
+opaque contract-hash mismatch. The full Spark-vs-VALUES comparison runs in
+tests/test_contract.py (entries image_phash_dedup / image_resize /
+audio_stats / video_frame_stats).
+"""
+
+import numpy as np
+
+from maskmypy_spark.functions import imagecodec
+from maskmypy_spark.plans import media_oracle
+from maskmypy_spark.sources import fixtures
+
+
+def test_fixture_image_reconstruction_codec_free():
+    # codec-free pixel reconstruction == the engine fixture's decoded bytes
+    for i in (0, 1, 7, 55, 119):
+        data, w, h, fmt, ph = fixtures.make_image(i, media_oracle.SEED)
+        via_codec = imagecodec.decode(data, fmt)
+        assert np.array_equal(media_oracle.fixture_image(i), via_codec), i
+
+
+def test_integer_exact_avg_hash_matches_engine():
+    for i in range(media_oracle._N_IMAGES):
+        img = media_oracle.fixture_image(i)
+        assert media_oracle.avg_hash_exact(img) == imagecodec.average_hash(img), i
+        q = imagecodec.quantize(img, 5)
+        assert np.array_equal(media_oracle._quantize5(img), q), i
+        assert media_oracle.avg_hash_exact(q) == imagecodec.average_hash(q), i
+
+
+def test_resize_rows_match_engine_kernel():
+    # same nearest-neighbor index arithmetic as operators/images.py:94-96
+    rows = {r[0]: r for r in media_oracle.image_resize_rows()}
+    for i in (0, 3, 42, 118):
+        img = media_oracle.fixture_image(i)
+        h, w = img.shape[:2]
+        ri = (np.arange(24) * h // 24).astype(np.int64)
+        ci = (np.arange(24) * w // 24).astype(np.int64)
+        expect = imagecodec.average_hash(img[ri][:, ci])
+        assert rows[f"img{i:08d}"] == (f"img{i:08d}", 24, 24, expect), i
+
+
+def test_row_counts():
+    assert len(media_oracle.phash_dedup_rows()) == 240
+    assert len(media_oracle.image_resize_rows()) == 120
+    assert len(media_oracle.audio_stats_rows()) == 100
+    assert len(media_oracle.video_frame_stats_rows()) == 192
+
+
+def test_phash_dedup_recovers_planted_pairs():
+    # every planted lossy re-encode must cluster with its original, and the
+    # keeper must be the cluster minimum
+    rows = {r[0]: r for r in media_oracle.phash_dedup_rows()}
+    n_joined = 0
+    for i in range(media_oracle._N_IMAGES):
+        a, b = f"img{i:08d}", f"img{i:08d}_q"
+        if rows[a][1] == rows[b][1]:
+            n_joined += 1
+        assert rows[rows[a][1]][2] == 1  # the keeper keeps itself
+    # quantization at PSNR~41dB keeps phash within the hamming budget for
+    # the overwhelming majority of the corpus
+    assert n_joined >= 110, n_joined
