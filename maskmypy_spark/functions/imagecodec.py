@@ -1,11 +1,13 @@
-"""Pure-numpy image codecs (PPM / BMP / PNG via stdlib zlib).
+"""Pure-numpy image codecs (PPM / BMP / PNG via stdlib zlib / baseline JPEG).
 
 No PIL/opencv in this environment (SURVEY §7), so the engine ships minimal
-deterministic codecs for the three fixture formats. PPM/BMP are exact
-(lossless, byte-stable); PNG uses zlib level 6, filter 0 (lossless). The
-"lossy" path for the PSNR>=40dB invariant is explicit bit-depth quantization
-(``quantize``) — deterministic, dependency-free, and honest about what it
-does. All functions operate on uint8 RGB arrays of shape (h, w, 3).
+deterministic codecs. PPM/BMP are exact (lossless, byte-stable); PNG uses
+zlib level 6, filter 0 (lossless); "jpg" is the real DCT/Huffman baseline
+JFIF codec (functions/jpeg.py) at quality 98 — the compressed-format path.
+The dependency-free lossy transform for the PSNR>=40dB invariant is
+bit-depth quantization (``quantize``); the jpg default quality holds the
+same invariant on the fixture corpus. All functions operate on uint8 RGB
+arrays of shape (h, w, 3).
 """
 
 from __future__ import annotations
@@ -127,11 +129,34 @@ def decode_png(data: bytes) -> np.ndarray:
     return out
 
 
+def encode_jpg(img: np.ndarray) -> bytes:
+    """Baseline JFIF (functions/jpeg.py — real DCT/Huffman compression, the
+    round-3 'compressed codecs are stubs' wall removed). Default quality 98
+    keeps the engine's lossy invariant (PSNR >= 40 dB) on the worst-case
+    per-pixel-noise fixtures; call jpeg.encode_jpeg directly for other
+    qualities."""
+    from . import jpeg as _jpeg
+
+    return _jpeg.encode_jpeg(img, quality=98)
+
+
+def decode_jpg(data: bytes) -> np.ndarray:
+    from . import jpeg as _jpeg
+
+    return _jpeg.decode_jpeg(data)
+
+
 CODECS = {
     "ppm": (encode_ppm, decode_ppm),
     "bmp": (encode_bmp, decode_bmp),
     "png": (encode_png, decode_png),
+    "jpg": (encode_jpg, decode_jpg),
 }
+
+#: formats where decode(encode(img)) != img; consumers that maintain the
+#: "phash matches a fresh decode of bytes" invariant must re-decode after
+#: encoding to these (operators/images.py:reencode does)
+LOSSY = {"jpg"}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:

@@ -3,8 +3,8 @@
 
 Images are opaque ``binary`` columns with typed metadata; every pixel
 operation is an Arrow-batched ``mapInPandas`` over the engine's pure-numpy
-codecs (functions/imagecodec.py — PPM/BMP/PNG; no PIL/opencv in this
-environment). The batch shape, schema pass-through, and partitioning are
+codecs (functions/imagecodec.py — PPM/BMP/PNG lossless plus a real baseline
+JPEG in functions/jpeg.py; no PIL/opencv in this environment). The batch shape, schema pass-through, and partitioning are
 the real 100 TB plumbing: batches are bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` so image bytes never
 accumulate beyond a batch per core, and all non-payload columns (captions,
@@ -49,8 +49,13 @@ def reencode(
                 if bits is not None:
                     img = imagecodec.quantize(img, bits)
                 f1 = fmt or f0
-                new_bytes.append(imagecodec.encode(img, f1))
+                enc = imagecodec.encode(img, f1)
+                new_bytes.append(enc)
                 new_fmt.append(f1)
+                # invariant: phash always matches a fresh decode of bytes —
+                # lossy targets (jpg) must hash the codec's output pixels
+                if f1 in imagecodec.LOSSY:
+                    img = imagecodec.decode(enc, f1)
                 new_phash.append(imagecodec.average_hash(img))
                 new_ids.append(f"{iid}{suffix}")
             out = pdf.copy()

@@ -10,7 +10,10 @@ bytes. COMPRESSED formats (mp3/aac/h264/...) need codec libraries this
 container does not ship; their decode is STUBBED behind a clearly-marked
 ``NotImplementedError`` (per the build brief) while all Spark-side
 plumbing — schema, partitioning, UDF signature, batch shape — is identical
-and tested.
+and tested. Images are past this wall already: functions/jpeg.py is a real
+pure-numpy baseline JPEG codec, and the same approach (stdlib bit I/O +
+vectorized numpy transforms) is the template for an ADPCM/MJPEG codec
+here.
 """
 
 from __future__ import annotations
