@@ -60,23 +60,24 @@ def _argmin_pick(cand: DataFrame, d, key: str, okey: str, max_d: float) -> DataF
     )
 
 
-def _salt_cell_join(lt, rt, x, y, salt, broadcast_others):
+def _salt_cell_join(lt, rt, x, y, salt, broadcast_others, extra_on=()):
     """Join the cell-tagged sides, optionally scattering hot cells: the
     probe side hashes into ``salt`` sub-keys, the build side replicates
     once per sub-key — one dense cluster (a city) then spreads over
     ``salt`` reducers instead of one (north rule; same machinery as
-    distance_join.py). AQE skew-join remains the adaptive backstop."""
+    distance_join.py). AQE skew-join remains the adaptive backstop.
+    ``extra_on`` columns (e.g. a group/side key) join alongside the cell."""
     if salt > 1:
         lt = lt.withColumn("_sk", (F.xxhash64(x, y) % salt + salt) % salt)
         rt = rt.withColumn(
             "_sk", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
         )
-        on = ["_cell", "_sk"]
+        on = ["_cell", "_sk", *extra_on]
     else:
-        on = ["_cell"]
+        on = ["_cell", *extra_on]
     if broadcast_others:
         rt = F.broadcast(rt)
-    return lt.join(rt, on).drop(*on)
+    return lt.join(rt, on).drop("_cell", *(["_sk"] if salt > 1 else []))
 
 
 def estimate_cell_size(df: DataFrame, x: str = "x", y: str = "y") -> float:
@@ -116,9 +117,14 @@ def knn_join(
     same ring-escalation proof as ``nearest_neighbor``: a point's top-k is
     exact once its k-th best distance is <= the cell size (everything
     within cs was examined — so all k are confirmed at once). Deterministic
-    ties by (dist, okey). Per-round top-k is a Window row_number bounded to
-    the 3x3 candidate neighborhood, never a global sort. ``salt`` scatters
-    hot cells across reducers (see ``_salt_cell_join``)."""
+    ties by (dist, okey). Per-round top-k is a Window row_number over the
+    3x3 candidate neighborhood whose rank<=k filter Catalyst pushes down as
+    ``WindowGroupLimit`` — a PARTIAL map-side top-k before the exchange, so
+    per-partition sort state is O(k) and the candidate set never enters an
+    unbounded sort buffer (plan-gated in tests/test_plans.py alongside the
+    cs-independence and salted-equivalence gates, the same guarantees
+    ``nearest_neighbor`` carries). ``salt`` scatters hot cells across
+    reducers (see ``_salt_cell_join``)."""
     if cs is None:
         cs = estimate_cell_size(others, ox, oy)
 
@@ -194,16 +200,26 @@ def nearest_neighbor(
     broadcast_others: bool = False,
     max_rounds: int = 12,
     salt: int = 0,
+    group: str | None = None,
 ) -> DataFrame:
     """points + (okey, ox, oy, nn_dist) of each point's exact nearest other.
 
     ``others`` must already carry columns (okey, ox, oy) disjoint from the
     point columns. ``exclude_self`` skips okey == key pairs (self-join mode).
     ``salt`` scatters hot cells across reducers (see ``_salt_cell_join``).
+
+    ``group`` names a column present in BOTH frames: neighbors are then
+    searched within the group only (the column rides every cell join), so
+    N independent NN problems share ONE escalation loop — the per-layer
+    before/after passes of ``analysis.nnd_delta`` collapse into a single
+    run. Contract in group mode: ``key`` and ``okey`` values must be
+    globally unique ACROSS groups (compose the group into them), because
+    the winner's coordinate recovery joins on ``okey`` alone.
     """
     if cs is None:
         cs = estimate_cell_size(others, ox, oy)
 
+    extra_on = (group,) if group else ()
     d = F.expr(dist_sql(x, y, ox, oy))
     parts: list[DataFrame] = []
     remaining = points
@@ -214,7 +230,7 @@ def nearest_neighbor(
             "_cell", F.explode(F.array(*[lcell + F.lit(o) for o in cells.ring_offsets(1)]))
         )
         rt = others.withColumn("_cell", rcell)
-        cand = _salt_cell_join(lt, rt, x, y, salt, broadcast_others)
+        cand = _salt_cell_join(lt, rt, x, y, salt, broadcast_others, extra_on)
         if exclude_self:
             cand = cand.where(F.col(okey) != F.col(key))
         # candidate distance this round is < 3*cs (3x3 neighborhood bound)
@@ -256,9 +272,14 @@ def nearest_neighbor(
                 max(rb[1], ob[1]) - min(rb[0], ob[0]),
                 max(rb[3], ob[3]) - min(rb[2], ob[2]),
             ) + 1.0
-            cand = remaining.crossJoin(
-                F.broadcast(others) if broadcast_others else others
-            )
+            oth = others
+            if group:
+                oth = oth.withColumnRenamed(group, "_og")
+            if broadcast_others:
+                oth = F.broadcast(oth)
+            cand = remaining.crossJoin(oth)
+            if group:
+                cand = cand.where(F.col(group) == F.col("_og")).drop("_og")
             if exclude_self:
                 cand = cand.where(F.col(okey) != F.col(key))
             pick = _argmin_pick(cand, d, key, okey, diag)

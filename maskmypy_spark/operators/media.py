@@ -3,17 +3,15 @@ the 100 TB curation pipeline, handled like images (operators/images.py):
 opaque ``binary`` columns + typed metadata, every sample/pixel operation an
 Arrow-batched ``mapInPandas`` with explicit schemas and bounded batches.
 
-Codecs: RAW formats are REAL and dependency-free — audio 'pcm16' is
-little-endian int16 frames, video 'rawrgb' is concatenated H x W x 3 uint8
-frames — so resample / frame-sample / stats run end-to-end on actual
-bytes. COMPRESSED formats (mp3/aac/h264/...) need codec libraries this
-container does not ship; their decode is STUBBED behind a clearly-marked
-``NotImplementedError`` (per the build brief) while all Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — is identical
-and tested. Images are past this wall already: functions/jpeg.py is a real
-pure-numpy baseline JPEG codec, and the same approach (stdlib bit I/O +
-vectorized numpy transforms) is the template for an ADPCM/MJPEG codec
-here.
+Codecs: RAW and COMPRESSED formats are REAL and dependency-free —
+audio 'pcm16' (little-endian int16) and 'adpcm' (IMA ADPCM 4:1,
+functions/adpcm.py); video 'rawrgb' (concatenated H x W x 3 uint8 frames)
+and 'mjpeg' (length-framed Motion-JPEG over the baseline JFIF codec,
+functions/jpeg.py) — so resample / transcode / frame-sample / stats run
+end-to-end on actual compressed bytes. Only PERCEPTUAL/INTER-FRAME formats
+(mp3/aac/h264/vp9), which need licensed psychoacoustic/motion machinery,
+remain STUBBED behind a clearly-marked ``NotImplementedError`` (per the
+build brief) with identical, tested Spark-side plumbing.
 """
 
 from __future__ import annotations
@@ -34,33 +32,82 @@ _RAW_AUDIO = {"pcm16"}
 _RAW_VIDEO = {"rawrgb"}
 
 
-def decode_audio(data: bytes, fmt: str) -> np.ndarray:
-    """int16 sample array. Compressed formats are stubbed (no codec libs
-    in this environment)."""
+def decode_audio(data: bytes, fmt: str, n_samples: int | None = None) -> np.ndarray:
+    """int16 sample array. Real codecs: 'pcm16' (raw little-endian) and
+    'adpcm' (IMA ADPCM 4:1, functions/adpcm.py — pass ``n_samples`` to trim
+    the nibble pad). Perceptual formats (mp3/aac) stay stubbed."""
     if fmt in _RAW_AUDIO:
         return np.frombuffer(data, dtype="<i2")
+    if fmt == "adpcm":
+        from ..functions import adpcm
+
+        return adpcm.decode_adpcm(data, n_samples)
     raise NotImplementedError(
-        f"audio format {fmt!r}: compressed codecs are not available in this "
-        "environment — STUB (plumbing is format-agnostic; swap the codec in)."
+        f"audio format {fmt!r}: perceptual codecs are not available in this "
+        "environment — STUB (plumbing is format-agnostic; swap the codec in; "
+        "'adpcm' is the real compressed path)."
     )
 
 
 def encode_audio(samples: np.ndarray, fmt: str = "pcm16") -> bytes:
     if fmt in _RAW_AUDIO:
         return samples.astype("<i2").tobytes()
+    if fmt == "adpcm":
+        from ..functions import adpcm
+
+        return adpcm.encode_adpcm(np.asarray(samples, dtype=np.int64))
     raise NotImplementedError(f"audio format {fmt!r}: see decode_audio")
 
 
 def decode_video(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """(n_frames, h, w, 3) uint8 array. Compressed formats stubbed."""
+    """(n_frames, h, w, 3) uint8 array. Real codecs: 'rawrgb' (concatenated
+    frames) and 'mjpeg' (length-framed Motion-JPEG: per frame a u32-LE byte
+    length + a baseline JFIF stream, functions/jpeg.py). Inter-frame
+    formats (h264/vp9) stay stubbed."""
     if fmt in _RAW_VIDEO:
         frame = w * h * 3
         n = len(data) // frame
         return np.frombuffer(data[: n * frame], dtype=np.uint8).reshape(n, h, w, 3)
+    if fmt == "mjpeg":
+        import struct as _struct
+
+        from ..functions import jpeg as _jpeg
+
+        frames = []
+        pos = 0
+        while pos + 4 <= len(data):
+            (ln,) = _struct.unpack("<I", data[pos : pos + 4])
+            frames.append(_jpeg.decode_jpeg(data[pos + 4 : pos + 4 + ln]))
+            pos += 4 + ln
+        out = np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8)
+        if out.shape[1:3] != (h, w):
+            raise ValueError(
+                f"mjpeg frames decode to {out.shape[2]}x{out.shape[1]}, "
+                f"metadata says {w}x{h}"
+            )
+        return out
     raise NotImplementedError(
-        f"video format {fmt!r}: compressed codecs are not available in this "
-        "environment — STUB (plumbing is format-agnostic; swap the codec in)."
+        f"video format {fmt!r}: inter-frame codecs are not available in this "
+        "environment — STUB (plumbing is format-agnostic; swap the codec in; "
+        "'mjpeg' is the real compressed path)."
     )
+
+
+def encode_video(frames: np.ndarray, fmt: str = "rawrgb", quality: int = 98) -> bytes:
+    """(n, h, w, 3) uint8 -> bytes in ``fmt`` (see :func:`decode_video`)."""
+    if fmt in _RAW_VIDEO:
+        return np.ascontiguousarray(frames, dtype=np.uint8).tobytes()
+    if fmt == "mjpeg":
+        import struct as _struct
+
+        from ..functions import jpeg as _jpeg
+
+        parts = []
+        for f in frames:
+            enc = _jpeg.encode_jpeg(np.asarray(f, dtype=np.uint8), quality)
+            parts.append(_struct.pack("<I", len(enc)) + enc)
+        return b"".join(parts)
+    raise NotImplementedError(f"video format {fmt!r}: see decode_video")
 
 
 # ------------------------------------------------------------ audio ops ---
@@ -82,8 +129,10 @@ def audio_resample(
                 yield pdf
                 continue
             nb, nn = [], []
-            for b, sr, fmt in zip(pdf["bytes"], pdf["sample_rate"], pdf["fmt"]):
-                x = decode_audio(bytes(b), fmt).astype(np.float64)
+            for b, sr, fmt, ns in zip(
+                pdf["bytes"], pdf["sample_rate"], pdf["fmt"], pdf["n_samples"]
+            ):
+                x = decode_audio(bytes(b), fmt, int(ns)).astype(np.float64)
                 n_out = max(1, int(round(len(x) * target_rate / sr)))
                 t_out = np.linspace(0.0, len(x) - 1.0, n_out)
                 y = np.interp(t_out, np.arange(len(x)), x)
@@ -106,10 +155,11 @@ def audio_stats(audio: DataFrame, key: str = "audio_id") -> DataFrame:
     def batches(it):
         for pdf in it:
             rows = []
-            for aid, b, sr, fmt in zip(
-                pdf[key], pdf["bytes"], pdf["sample_rate"], pdf["fmt"]
+            for aid, b, sr, fmt, ns in zip(
+                pdf[key], pdf["bytes"], pdf["sample_rate"], pdf["fmt"],
+                pdf["n_samples"],
             ):
-                x = decode_audio(bytes(b), fmt).astype(np.float64)
+                x = decode_audio(bytes(b), fmt, int(ns)).astype(np.float64)
                 rows.append(
                     (aid, float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
                      len(x) / float(sr))
@@ -119,6 +169,71 @@ def audio_stats(audio: DataFrame, key: str = "audio_id") -> DataFrame:
     return audio.mapInPandas(
         batches, schema=f"{key} string, rms double, duration_sec double"
     )
+
+
+def audio_transcode(
+    audio: DataFrame, fmt: str = "adpcm", key: str = "audio_id"
+) -> DataFrame:
+    """Decode -> re-encode each clip in ``fmt`` (bytes/fmt refreshed,
+    sample count and rate unchanged, payload columns pass through) — the
+    compression step of an audio curation pipeline. 'adpcm' is the real
+    4:1 lossy path (SNR bounds asserted in tests/test_media.py)."""
+    import pandas as pd
+
+    cols = audio.columns
+    out_schema = audio.schema
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            nb = [
+                encode_audio(
+                    decode_audio(bytes(b), f0, int(ns)).astype(np.int64), fmt
+                )
+                for b, f0, ns in zip(pdf["bytes"], pdf["fmt"], pdf["n_samples"])
+            ]
+            out = pdf.copy()
+            out["bytes"] = nb
+            out["fmt"] = fmt
+            yield out[cols]
+
+    return audio.mapInPandas(batches, schema=out_schema)
+
+
+def video_transcode(
+    video: DataFrame, fmt: str = "mjpeg", quality: int = 98,
+    key: str = "video_id",
+) -> DataFrame:
+    """Decode -> re-encode each clip in ``fmt`` (bytes/fmt refreshed) —
+    'mjpeg' chains every frame through the baseline JPEG codec
+    (functions/jpeg.py), giving a real compressed video path whose frames
+    still flow through video_frame_sample / image_stats unchanged."""
+    import pandas as pd
+
+    cols = video.columns
+    out_schema = video.schema
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            nb = [
+                encode_video(
+                    decode_video(bytes(b), int(w), int(h), f0), fmt, quality
+                )
+                for b, w, h, f0 in zip(
+                    pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+                )
+            ]
+            out = pdf.copy()
+            out["bytes"] = nb
+            out["fmt"] = fmt
+            yield out[cols]
+
+    return video.mapInPandas(batches, schema=out_schema)
 
 
 # ------------------------------------------------------------ video ops ---

@@ -1313,6 +1313,93 @@ def _q_audio_stats():
     return q, sql
 
 
+def _q_audio_transcode():
+    """ADPCM transcode gate (operators/media.py:audio_transcode): the
+    compressed bytes themselves are verified — Spark md5 over the
+    operator's output vs hashlib over the independently re-coded encoder's
+    bytes (plans/media_oracle.py:_ima_encode), baked as VALUES."""
+    from . import media_oracle
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        from ..operators import media
+        from ..sources import fixtures
+
+        clips = fixtures.audio_clips(spark, 50, seed=42)
+        t = media.audio_transcode(clips, "adpcm")
+        return t.select(
+            "audio_id", "fmt",
+            F.length("bytes").alias("n_bytes"),
+            F.md5(F.col("bytes")).alias("digest"),
+        ).orderBy("audio_id")
+
+    vals = ", ".join(
+        f"('{a}', '{f}', {n}, '{d}')"
+        for a, f, n, d in media_oracle.audio_transcode_rows()
+    )
+    sql = (
+        "SELECT audio_id, fmt, CAST(n_bytes AS INTEGER) AS n_bytes, digest "
+        f"FROM (VALUES {vals}) t(audio_id, fmt, n_bytes, digest) "
+        "ORDER BY audio_id"
+    )
+    return q, sql
+
+
+def _q_video_transcode():
+    """Motion-JPEG transcode gate (operators/media.py:video_transcode):
+    bytes are JPEG-entropy-coded (not re-derivable without a second JPEG
+    implementation), so the oracle pins the CONTRACT instead — every clip
+    re-decodes from the compressed bytes to the declared frame count at
+    PSNR >= 40 dB vs its raw original. The engine can only match the
+    all-true VALUES by actually achieving the fidelity bound; per-frame
+    PSNR is additionally pinned in tests/test_media.py."""
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        import pandas as pd
+
+        from ..functions import imagecodec
+        from ..operators import media
+        from ..sources import fixtures
+
+        vids = fixtures.video_clips(spark, 40, seed=42)
+        t = media.video_transcode(vids, "mjpeg").select(
+            "video_id", F.col("bytes").alias("_cbytes"), "w", "h",
+        )
+        both = vids.select("video_id", "bytes", "w", "h", "fmt").join(
+            t, ["video_id", "w", "h"]
+        )
+
+        def check(it):
+            for pdf in it:
+                rows = []
+                for vid, ob, cb, w, h, f0 in zip(
+                    pdf["video_id"], pdf["bytes"], pdf["_cbytes"],
+                    pdf["w"], pdf["h"], pdf["fmt"],
+                ):
+                    a = media.decode_video(bytes(ob), int(w), int(h), f0)
+                    b = media.decode_video(bytes(cb), int(w), int(h), "mjpeg")
+                    ok = len(a) == len(b) and all(
+                        imagecodec.psnr(fa, fb) >= 40.0 for fa, fb in zip(a, b)
+                    )
+                    rows.append((vid, len(b), bool(ok)))
+                yield pd.DataFrame(
+                    rows, columns=["video_id", "n_frames", "psnr_ge_40"]
+                )
+
+        return both.mapInPandas(
+            check, schema="video_id string, n_frames int, psnr_ge_40 boolean"
+        ).orderBy("video_id")
+
+    vals = ", ".join(
+        f"('vid{i:06d}', {4 + i % 5}, true)" for i in range(40)
+    )
+    sql = (
+        "SELECT video_id, CAST(n_frames AS INTEGER) AS n_frames, psnr_ge_40 "
+        f"FROM (VALUES {vals}) t(video_id, n_frames, psnr_ge_40) "
+        "ORDER BY video_id"
+    )
+    return q, sql
+
+
 def _simhash_md5_ctes() -> str:
     """CTEs ending in sh(doc_id, simhash): the md5-mode 60-bit simhash of
     documents.text, rendered from the SAME dialect-shared fragments the
@@ -1551,4 +1638,6 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["image_resize"] = _q_image_resize()
     reg["video_frame_stats"] = _q_video_frame_stats()
     reg["audio_stats"] = _q_audio_stats()
+    reg["audio_transcode"] = _q_audio_transcode()
+    reg["video_transcode"] = _q_video_transcode()
     return reg

@@ -203,6 +203,91 @@ def audio_stats_rows() -> tuple[tuple[str, float, float], ...]:
     return tuple(rows)
 
 
+def _clip_samples(i: int) -> tuple[np.ndarray, int]:
+    """(pcm16 samples as int array, sample_rate) of fixture clip i —
+    the corpus definition (sources/fixtures.py:audio_clips)."""
+    one = np.array([i], dtype=np.int64)
+    sr = (8000, 16000, 22050)[i % 3]
+    n_s = 400 + int(u_np(one, _T_AU_LEN, SEED)[0] * 1200)
+    t = np.arange(n_s, dtype=np.float64)
+    freq = 100.0 + float(u_np(one, _T_AU_FREQ, SEED)[0]) * 800.0
+    noise = (
+        u_np((t.astype(np.int64) * 131 + i) % (1 << 31), _T_AU_NOISE, SEED) - 0.5
+    ) * 2000
+    x = 8000.0 * np.sin(2 * np.pi * freq * t / sr) + noise
+    return np.round(x).astype("<i2").astype(np.int64), sr
+
+
+# IMA step-size table (public: IMA ADPCM spec / RFC 3551 DVI4) — duplicated
+# here on purpose: the oracle encoder below shares NOTHING with
+# functions/adpcm.py but the published standard.
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_encode(x: np.ndarray) -> bytes:
+    """Independently re-coded IMA ADPCM encoder. The spec's quantizer IS
+    the greedy threshold cascade (step, step>>1, step>>2 on the residual —
+    a genuinely different algorithm would encode a different stream), so
+    unlike the phash/pairs/clusters oracles this one shares the published
+    algorithm and differs only in derivation route (precomputed threshold
+    tuple + accumulated delta vs functions/adpcm.py's subtract-and-set-bit
+    helper). tests/test_media_oracle.py cross-checks byte equality on the
+    corpus so either implementation drifting fails loudly."""
+    pred, idx = 0, 0
+    nibbles = []
+    for v in x:
+        step = _IMA_STEPS[idx]
+        diff = int(v) - pred
+        sign = 8 if diff < 0 else 0
+        residual = -diff if diff < 0 else diff
+        m = 0
+        delta = step >> 3
+        for bit, share in ((4, step), (2, step >> 1), (1, step >> 2)):
+            if residual >= share:
+                m |= bit
+                residual -= share
+                delta += share
+        pred = pred - delta if sign else pred + delta
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX[m]))
+        nibbles.append(sign | m)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    return bytes(
+        (nibbles[j + 1] << 4) | nibbles[j] for j in range(0, len(nibbles), 2)
+    )
+
+
+_N_TRANSCODE = 50
+
+
+@lru_cache(maxsize=1)
+def audio_transcode_rows() -> tuple[tuple[str, str, int, str], ...]:
+    """(audio_id, fmt, n_bytes, md5hex) of the adpcm transcode of the
+    50-clip corpus — bytes re-derived by the independent encoder above,
+    digested with stdlib hashlib (vs Spark's md5 over the operator's
+    output)."""
+    import hashlib
+
+    rows = []
+    for i in range(_N_TRANSCODE):
+        x, _sr = _clip_samples(i)
+        data = _ima_encode(x)
+        rows.append(
+            (f"aud{i:06d}", "adpcm", len(data), hashlib.md5(data).hexdigest())
+        )
+    return tuple(rows)
+
+
 # ------------------------------------------------------------------- video
 
 _N_VIDEO = 60

@@ -58,4 +58,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # deploy/experiment hook: semicolon-separated key=value pairs applied
+    # last (e.g. SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd;
+    # spark.memory.offHeap.enabled=true") — cluster-level knobs without
+    # touching call sites; BENCH/exp_832.py drives its config matrix here.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()

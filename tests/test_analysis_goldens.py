@@ -181,6 +181,27 @@ def test_ripley_k_properties(spark):
     assert analysis.ripley_rmse(base, rm_small) < analysis.ripley_rmse(base, rm_big)
 
 
+def test_nnd_delta_fused_matches_separate(spark):
+    """The fused single-loop nnd_delta (group-aware NN join) must equal the
+    two independent nnd() runs bit-for-bit — including when the layers are
+    spatially interleaved (side column, not distance, separates them)."""
+    from pyspark.sql import functions as F
+
+    from maskmypy_spark.sources import fixtures
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(300, seed=42)).cache()
+    # interleaved candidate: jittered copy occupying the SAME box, so a
+    # side-mixing bug would pick cross-layer neighbors (far closer than
+    # intra-layer ones) and shift every stat
+    cand = pts.withColumn("x", F.col("x") + 13.0).withColumn("y", F.col("y") - 7.0)
+    got = analysis.nnd_delta(pts, cand).collect()[0]
+    b = analysis.nnd(pts).collect()[0]
+    a = analysis.nnd(cand).collect()[0]
+    assert got["nnd_min_delta"] == round(a["nnd_min"] - b["nnd_min"], 6)
+    assert got["nnd_max_delta"] == round(a["nnd_max"] - b["nnd_max"], 6)
+    assert got["nnd_mean_delta"] == round(a["nnd_mean"] - b["nnd_mean"], 6)
+
+
 def test_ripley_scale_guard(spark):
     """VERDICT r03 'What's wrong' #1: the default bbox-scale radius must
     not degenerate toward all-pairs on a dense layer. With ``max_pairs``

@@ -20,6 +20,63 @@ def test_audio_roundtrip_and_stub():
         media.decode_video(b"\x00" * 8, 2, 2, "h264")
 
 
+def test_adpcm_codec():
+    """IMA ADPCM (functions/adpcm.py): 4:1 size, tracking SNR on an
+    audio-like signal, exact nibble packing, n_samples trim."""
+    from maskmypy_spark.functions import adpcm
+
+    t = np.arange(2001, dtype=np.float64)
+    x = np.round(8000.0 * np.sin(2 * np.pi * 440.0 * t / 16000.0)).astype(np.int64)
+    data = adpcm.encode_adpcm(x)
+    assert len(data) == (len(x) + 1) // 2  # 4:1 vs pcm16
+    back = media.decode_audio(data, "adpcm", len(x))
+    assert len(back) == len(x)
+    assert adpcm.snr_db(x, back) > 20.0  # standard IMA quality on a tone
+    # deterministic
+    assert adpcm.encode_adpcm(x) == data
+
+
+def test_audio_transcode_adpcm_pipeline(spark):
+    """Compressed audio is a first-class pipeline citizen: transcode to
+    adpcm, then resample + stats run on the compressed bytes with stats
+    close to the pcm path (codec SNR bound, not plumbing loss)."""
+    clips = fixtures.audio_clips(spark, 12, seed=42).cache()
+    comp = media.audio_transcode(clips, "adpcm").cache()
+    for r in comp.collect():
+        assert r["fmt"] == "adpcm"
+        assert len(bytes(r["bytes"])) == (r["n_samples"] + 1) // 2
+    base = {r["audio_id"]: r for r in media.audio_stats(clips).collect()}
+    got = {r["audio_id"]: r for r in media.audio_stats(comp).collect()}
+    for aid, s in got.items():
+        assert s["duration_sec"] == base[aid]["duration_sec"]
+        assert abs(s["rms"] - base[aid]["rms"]) / base[aid]["rms"] < 0.05
+    res = media.audio_resample(comp, 16000).collect()
+    assert all(r["fmt"] == "pcm16" and r["sample_rate"] == 16000 for r in res)
+
+
+def test_video_transcode_mjpeg_pipeline(spark):
+    """Compressed video end-to-end: rawrgb -> mjpeg (every frame a real
+    JFIF stream), frames decode at PSNR >= 40 dB, and frame-sample/stats
+    run on the compressed bytes unchanged."""
+    from maskmypy_spark.functions import imagecodec
+
+    vids = fixtures.video_clips(spark, 8, seed=42).cache()
+    comp = media.video_transcode(vids, "mjpeg").cache()
+    orig = {r["video_id"]: r for r in vids.collect()}
+    for r in comp.collect():
+        assert r["fmt"] == "mjpeg"
+        o = orig[r["video_id"]]
+        a = media.decode_video(bytes(o["bytes"]), o["w"], o["h"], o["fmt"])
+        b = media.decode_video(bytes(r["bytes"]), r["w"], r["h"], "mjpeg")
+        assert a.shape == b.shape
+        for fa, fb in zip(a, b):
+            assert imagecodec.psnr(fa, fb) >= 40.0
+    # the image-pipeline handoff is format-transparent
+    frames = media.video_frame_sample(comp, every_n=2)
+    n = frames.count()
+    assert n == sum(len(range(0, o["n_frames"], 2)) for o in orig.values())
+
+
 def test_audio_resample_and_stats(spark):
     clips = fixtures.audio_clips(spark, 30, seed=42).cache()
     orig = {r["audio_id"]: r for r in clips.collect()}

@@ -42,6 +42,21 @@ def test_resize_rows_match_engine_kernel():
         assert rows[f"img{i:08d}"] == (f"img{i:08d}", 24, 24, expect), i
 
 
+def test_ima_oracle_encoder_matches_engine_bytes():
+    """The oracle's re-coded IMA encoder must produce byte-identical
+    streams to functions/adpcm.py on the fixture clips (and decode back
+    through the engine within the codec's SNR)."""
+    from maskmypy_spark.functions import adpcm
+
+    for i in (0, 1, 2, 17, 49):
+        x, _sr = media_oracle._clip_samples(i)
+        a = media_oracle._ima_encode(x)
+        b = adpcm.encode_adpcm(x)
+        assert a == b, i
+        back = adpcm.decode_adpcm(a, len(x))
+        assert adpcm.snr_db(x, back) > 15.0, i
+
+
 def test_row_counts():
     assert len(media_oracle.phash_dedup_rows()) == 240
     assert len(media_oracle.image_resize_rows()) == 120

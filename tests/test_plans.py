@@ -182,6 +182,47 @@ def test_nearest_neighbor_salted_join_shape(spark, monkeypatch):
     assert a == b
 
 
+def test_knn_join_cs_independent_and_window_bounded(spark, monkeypatch):
+    """knn_join carries nearest_neighbor's guarantees (VERDICT r03 next #6):
+    results identical at any starting cell size (the k-th-distance
+    convergence proof makes cs a pure performance knob), and the per-round
+    top-k Window stays a LOCAL per-partition sort over the 3x3-cell
+    candidate set — never a global Sort of the exploded candidates, no
+    SortAggregate, no Python in the plan."""
+    import re
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from maskmypy_spark.operators.knn import knn_join
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(400, seed=42))
+    others = pts.selectExpr("pid AS nn_id", "x AS nn_x", "y AS nn_y")
+    outs = [
+        {
+            tuple(r)
+            for r in knn_join(pts, others, k=3, cs=cs, exclude_self=True).collect()
+        }
+        for cs in (150.0, 450.0, 1350.0, None)
+    ]
+    assert all(o == outs[0] for o in outs[1:])
+    assert len(outs[0]) == 1200
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self, *a, **kw: self)
+    plan = _plan(knn_join(pts, others, k=3, cs=450.0, exclude_self=True))
+    assert "SortAggregate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the rank<=k filter must push into the Window as a group limit: the
+    # per-partition sort state is then O(k), map-side (Partial) BEFORE the
+    # exchange — candidates never accumulate into an unbounded sort buffer
+    assert "WindowGroupLimit" in plan, plan
+    sorts = re.findall(
+        r"\(\d+\) Sort[^\n]*\n(?:[^\n]+\n)*?Arguments: \[[^\]]*\], (true|false), 0",
+        plan,
+    )
+    assert sorts, plan  # the Window's local sort is present...
+    assert all(g == "false" for g in sorts), plan  # ...and nothing global
+
+
 def test_k_verify_pipeline_plan_quality(spark):
     """The join-free pipeline k-verify: no pid-join of the fact table before
     the annulus join, count aggregate hash-aggregates, zero Python."""
