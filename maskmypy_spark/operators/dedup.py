@@ -61,6 +61,36 @@ def doc_quality(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
     )
 
 
+def doc_repetition(
+    df: DataFrame, n: int = 2, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Within-document duplicate word-n-gram fraction — the repetition
+    signal of the published Gopher quality rules (Rae et al. 2021,
+    appendix A1.1: repetitious documents are boilerplate/spam):
+
+        dup_ngram_frac = 1 - distinct_ngrams / total_ngrams
+
+    (0.0 for documents with fewer than ``n`` tokens or NULL text). Pure
+    per-document projection: tokens -> slice-built n-gram array ->
+    array_distinct — whole-stage codegen, no explode, no shuffle, nothing
+    leaves the row. Complements :func:`doc_quality`'s ratio filters and the
+    CROSS-document dedup family (this one needs no index at any corpus
+    size)."""
+    toks = tokens_col(text)
+    cnt = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    rep = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
+    )
+    return df.select(
+        key,
+        F.when(cnt >= 1, rep).otherwise(F.lit(0.0)).alias("dup_ngram_frac"),
+    )
+
+
 TAG_SAMPLE = 10  # draw-site tag for hash_sample (disjoint from rng.py tags)
 
 # PII patterns restricted to syntax shared by Java regex (Spark) and RE2

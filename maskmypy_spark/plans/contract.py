@@ -1313,6 +1313,34 @@ def _q_audio_stats():
     return q, sql
 
 
+def _q_doc_repetition():
+    """Gopher-style within-document duplicate-bigram fraction
+    (operators/dedup.py:doc_repetition) — both engines build the n-gram
+    list per row (Spark transform/slice vs DuckDB list_transform/list
+    slicing) and compare distinct/total counts; no explode on either
+    side."""
+    from ..operators import dedup
+
+    n = 2
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.doc_repetition(tables.load(spark, sf, "documents"), n=n)
+
+    sql = (
+        "WITH t AS (SELECT doc_id, "
+        "string_split_regex(trim(text), '\\s+') AS toks FROM documents), "
+        f"c AS (SELECT doc_id, toks, len(toks) - {n - 1} AS cnt FROM t), "
+        "g AS (SELECT doc_id, cnt, CASE WHEN cnt >= 1 THEN "
+        "list_transform(range(1, cnt + 1), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')) "
+        "ELSE [] END AS grams FROM c) "
+        "SELECT doc_id, CASE WHEN cnt >= 1 THEN "
+        "round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) "
+        "ELSE 0.0 END AS dup_ngram_frac FROM g"
+    )
+    return q, sql
+
+
 def _q_audio_transcode():
     """ADPCM transcode gate (operators/media.py:audio_transcode): the
     compressed bytes themselves are verified — Spark md5 over the
@@ -1640,4 +1668,5 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["audio_stats"] = _q_audio_stats()
     reg["audio_transcode"] = _q_audio_transcode()
     reg["video_transcode"] = _q_video_transcode()
+    reg["doc_repetition"] = _q_doc_repetition()
     return reg

@@ -145,6 +145,24 @@ def test_fingerprint_winnow_shared_run_guarantee(spark):
     assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
 
 
+def test_doc_repetition_planted(spark):
+    """Gopher repetition signal: hand-computable duplicate-bigram
+    fractions, 0.0 for degenerate docs (NULL/empty/single-token)."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),       # bigrams: ab ba ab ba ab -> 2/5 distinct
+            (1, "one two three four"),  # all distinct -> 0.0
+            (2, "spam spam spam spam spam"),  # 4 bigrams, 1 distinct -> 0.75
+            (3, None),
+            (4, ""),
+            (5, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["dup_ngram_frac"] for r in dedup.doc_repetition(df).collect()}
+    assert got == {0: 0.6, 1: 0.0, 2: 0.75, 3: 0.0, 4: 0.0, 5: 0.0}
+
+
 def test_language_id_profiles(spark):
     import pandas as pd
 
