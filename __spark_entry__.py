@@ -1,9 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs each of the 47
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each of the 51
 ``queries()[name]`` at sf=0.01 and compares it against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
-value-hash -> CORRECTNESS_r{N}.json).
+value-hash -> CORRECTNESS_r{N}.json). As of round 4 every entry carries an
+exact oracle (the former rows-only binary-codec entries are pinned by
+independently-derived VALUES tables, plans/media_oracle.py).
 
 All queries live in ``maskmypy_spark.plans.contract`` — one (Spark
 DataFrame callable, DuckDB oracle SQL) pair per implemented operator from
