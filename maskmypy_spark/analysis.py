@@ -664,14 +664,21 @@ def evaluate(
         .localCheckpoint(eager=True)
     )
     if assert_complete:
-        n_joined, n_sens = disp.count(), sensitive.count()
-        if n_joined != n_sens:
+        # count AND distinct-count in one aggregate: equal row counts alone
+        # would let a drop+duplicate pair cancel out undetected
+        jr = disp.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct(key).alias("_nd"),
+        ).collect()[0]
+        n_sens = sensitive.count()
+        if jr["_n"] != n_sens or jr["_nd"] != n_sens:
             raise ValueError(
                 f"evaluate(): candidate is not 1:1-complete with sensitive on "
-                f"'{key}' ({n_joined} joined rows vs {n_sens} sensitive rows); "
-                "central_drift/displacement stats would be weighted by the "
-                "surviving join rows — fix the candidate frame or compute the "
-                "standalone metrics (central_drift, displacement) per-table."
+                f"'{key}' ({jr['_n']} joined rows / {jr['_nd']} distinct keys "
+                f"vs {n_sens} sensitive rows); central_drift/displacement "
+                "stats would be weighted by the surviving join rows — fix the "
+                "candidate frame or compute the standalone metrics "
+                "(central_drift, displacement) per-table."
             )
     head = (
         disp.agg(

@@ -187,10 +187,14 @@ class _BitWriter:
             if b == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (the pre-marker fill)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+            self.write((1 << pad) - 1, pad)
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -211,8 +215,13 @@ def _to_blocks(chan: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """Baseline JFIF bytes for a (h, w, 3) uint8 RGB array (4:4:4)."""
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Baseline JFIF bytes for a (h, w, 3) uint8 RGB array (4:4:4).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker (with
+    DC-predictor reset) every that many MCUs — the spec's error-resilience
+    feature, and the decoder's restart path test vehicle."""
     h, w, _ = img.shape
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     rgb = np.pad(img.astype(np.float64), ((0, ph - h), (0, pw - w), (0, 0)), "edge")
@@ -246,7 +255,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
     n_by, n_bx = ph // 8, pw // 8
-    for bi in range(n_by * n_bx):  # interleaved 4:4:4 MCU = 1 block/component
+    n_mcu = n_by * n_bx
+    for bi in range(n_mcu):  # interleaved 4:4:4 MCU = 1 block/component
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.align()
+            bw.buf += bytes([0xFF, 0xD0 + (bi // restart_interval - 1) % 8])
+            prev_dc = [0, 0, 0]
         for c in range(3):
             t = 0 if c == 0 else 1
             dct, act = dc_tabs[t], ac_tabs[t]
@@ -299,6 +313,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     ):
         out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), (cls << 4) | tid)
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += struct.pack("BB", cid, tabs)
@@ -416,6 +432,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     "chroma-subsampled jpeg (only 4:4:4 baseline supported)"
                 )
+            if n != 3:
+                raise NotImplementedError(
+                    f"{n}-component jpeg (only 3-component RGB/YCbCr supported)"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
         elif marker == 0xC4:  # DHT
@@ -477,14 +497,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     k += 1
             bi += 1
             if restart and bi % restart == 0 and bi < n_blocks:
-                # encoder may or may not emit the trailing RSTn; tolerate both
-                try:
-                    br.read_bit()
-                except _RestartMarker:
-                    br.sync_restart()
+                # Restart boundary: the encoder pads the entropy segment
+                # with 1-bits to a byte edge, then emits RSTn. Discard the
+                # pad bits (byte-align) and consume the marker directly —
+                # probing with read_bit() would return a pad bit instead of
+                # reaching the marker. Tolerate an absent marker (some
+                # encoders omit the final one).
+                br.acc = 0
+                br.nbits = 0
+                if (
+                    br.pos + 1 < len(br.data)
+                    and br.data[br.pos] == 0xFF
+                    and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                ):
+                    br.pos += 2
                     prev_dc = [0] * ncomp
-                else:
-                    raise ValueError("expected restart marker")
         except _RestartMarker:
             br.sync_restart()
             prev_dc = [0] * ncomp

@@ -291,7 +291,13 @@ def ngram_jaccard_pairs(
                 UserWarning,
                 stacklevel=2,
             )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+            # the cached hot set stays pinned for the lazy anti-join below;
+            # it is tiny by construction (<= total_shingles / cap entries)
+            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        else:
+            # common case: nothing hot — skip the anti-join entirely and
+            # release the cache immediately (no storage-memory leak)
+            hot.unpersist()
     a = sh.select(F.col(key).alias("d1"), "shingle")
     b = sh.select(F.col(key).alias("d2"), "shingle")
     common = (

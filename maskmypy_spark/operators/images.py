@@ -99,7 +99,11 @@ def image_resize(
                 ri = (np.arange(out_h) * h // out_h).astype(np.int64)
                 ci = (np.arange(out_w) * w // out_w).astype(np.int64)
                 img = img[ri][:, ci]
-                new_bytes.append(imagecodec.encode(img, f0))
+                enc = imagecodec.encode(img, f0)
+                new_bytes.append(enc)
+                # lossy targets: phash must match a fresh decode of bytes
+                if f0 in imagecodec.LOSSY:
+                    img = imagecodec.decode(enc, f0)
                 new_phash.append(imagecodec.average_hash(img))
             out = pdf.copy()
             out["bytes"] = new_bytes

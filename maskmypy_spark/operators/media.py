@@ -258,9 +258,13 @@ def video_frame_sample(
                 frames = decode_video(bytes(b), int(w), int(h), fmt)
                 for i in range(0, len(frames), every_n):
                     img = frames[i]
+                    enc = imagecodec.encode(img, img_fmt)
+                    # lossy image targets: phash matches a fresh decode
+                    if img_fmt in imagecodec.LOSSY:
+                        img = imagecodec.decode(enc, img_fmt)
                     rows.append(
-                        (f"{vid}_f{i:05d}", imagecodec.encode(img, img_fmt),
-                         int(w), int(h), img_fmt, imagecodec.average_hash(img))
+                        (f"{vid}_f{i:05d}", enc, int(w), int(h), img_fmt,
+                         imagecodec.average_hash(img))
                     )
             yield pd.DataFrame(
                 rows, columns=["image_id", "bytes", "w", "h", "fmt", "phash"]

@@ -401,14 +401,23 @@ def street_k(
     while True:
         extra = {}
         if region_size is not None:
+            # one materialization per iteration: certificate aggregate (when
+            # requested) + k-join read the checkpoint, the cogrouped
+            # Dijkstra never re-runs; the previous iteration's checkpoint
+            # blocks free via the ContextCleaner once its reference drops
             mr = street_by_region(
                 df, low, low + spread, nodes, edges, region_size,
                 margin=margin, max_length=max_length, seed=seed,
                 key=key, x=x, y=y,
             ).localCheckpoint(eager=True)
-            extra["region_exact_frac"] = float(
-                mr.agg(F.avg(F.col("region_exact").cast("double"))).collect()[0][0]
-            )
+            if on_iteration is not None:
+                # the certificate aggregate is an extra job — only pay it
+                # when someone consumes the metrics
+                extra["region_exact_frac"] = float(
+                    mr.agg(
+                        F.avg(F.col("region_exact").cast("double"))
+                    ).collect()[0][0]
+                )
             masked = mr.drop("region_exact")
         else:
             masked = street(

@@ -167,6 +167,23 @@ def test_evaluate_skip_slow_and_polygon_dispatch(spark, points):
     assert 0.0 <= stats["k_satisfaction_5"] <= 1.0
 
 
+def test_evaluate_assert_complete(spark, points):
+    """evaluate(assert_complete=True): passes a row-preserving mask, raises
+    on a dropped row, AND raises when a drop + a duplicate cancel out in
+    the raw row count (the countDistinct gap)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    m = donut(points, 50.0, 300.0, seed=6)
+    analysis.evaluate(points, m, assert_complete=True)  # 1:1 — no raise
+    with pytest.raises(ValueError, match="not 1:1-complete"):
+        analysis.evaluate(points, m.where(F.col("pid") != 3), assert_complete=True)
+    dupped = m.where(F.col("pid") != 3).unionByName(m.where(F.col("pid") == 4))
+    assert dupped.count() == m.count()  # same row count, not 1:1
+    with pytest.raises(ValueError, match="not 1:1-complete"):
+        analysis.evaluate(points, dupped, assert_complete=True)
+
+
 def test_run_mask_manifest_and_resume(spark, points, tmp_path):
     out = str(tmp_path / "run1")
 

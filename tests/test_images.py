@@ -118,6 +118,16 @@ def test_jpeg_codec_baseline():
     with pytest.raises(NotImplementedError, match="subsampled"):
         jpeg.decode_jpeg(bytes(patched))
 
+    # restart markers (DRI + RSTn with DC reset + pre-marker byte padding):
+    # decode must byte-align at each boundary, not choke on pad bits
+    rs2 = np.random.RandomState(5)
+    img = rs2.randint(0, 256, (24, 40, 3), dtype=np.uint8)  # 15 MCUs
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 95))
+    for ri in (1, 2, 7):
+        with_rst = jpeg.encode_jpeg(img, 95, restart_interval=ri)
+        assert b"\xff\xdd" in with_rst  # DRI present
+        assert np.array_equal(jpeg.decode_jpeg(with_rst), plain), ri
+
 
 def test_reencode_jpeg_near_dup_detection(spark):
     """The judge's round-4 done-criterion: planted JPEG re-encodes flow
