@@ -146,6 +146,35 @@ def hot_cell_monitor(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    ts: str = "timestamp",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming EXACT content dedup — the streaming twin of
+    ``operators/dedup.py:dedup_exact`` for an arriving document stream:
+    keep the FIRST arrival of each content digest, drop every later
+    duplicate (including at-least-once re-deliveries, which makes the sink
+    exactly-once per content).
+
+    State is one md5 digest per distinct content, expired once the
+    watermark passes its arrival (``dropDuplicatesWithinWatermark``), so
+    state size is bounded by the distinct-content arrival rate times the
+    watermark horizon — not by stream lifetime. Semantic note vs batch:
+    batch dedup_exact elects min(doc_id) per digest (order-free); the
+    stream elects the first ARRIVAL — the only well-defined choice when
+    the corpus is unbounded. Returns the surviving rows with their
+    ``_digest`` column (callers drop it or keep it as lineage)."""
+    digest = F.md5(F.coalesce(F.col(text), F.lit("")))
+    return (
+        stream.withColumn("_digest", digest)
+        .withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+    )
+
+
 def demo_stream(spark: SparkSession, low: float = 100.0, high: float = 500.0, seed: int = 42):
     """Rate-source demo: synthesize geotagged rows, mask them, return the
     streaming DataFrame (caller picks the sink)."""

@@ -165,3 +165,49 @@ def test_hot_cell_monitor_stateful(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_dedup_stream_exact_once_per_content(spark, tmp_path):
+    """Streaming content dedup (dedup_stream): duplicated texts — within a
+    batch AND across re-delivered files — survive exactly once; distinct
+    contents all survive; the survivor set equals batch distinct-digest."""
+    import pandas as pd
+
+    from maskmypy_spark.streaming.mask_stream import dedup_stream
+
+    src_dir = str(tmp_path / "src_dd")
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    rows1 = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["alpha beta", "gamma", "alpha beta", "delta"],
+            "timestamp": [t0] * 4,
+        }
+    )
+    spark.createDataFrame(rows1).write.mode("append").parquet(src_dir)
+    # second file: re-deliveries of old content + one new doc
+    rows2 = pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "text": ["gamma", "epsilon zeta"],
+            "timestamp": [t0 + pd.Timedelta(seconds=30)] * 2,
+        }
+    )
+    spark.createDataFrame(rows2).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, timestamp timestamp"
+    ).parquet(src_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_stream_sink").collect()
+    texts = [r["text"] for r in got]
+    assert sorted(texts) == ["alpha beta", "delta", "epsilon zeta", "gamma"]
+    assert len({r["_digest"] for r in got}) == 4
