@@ -665,6 +665,33 @@ def simhash64(
     return votes.select(key, F.expr(expr).alias("simhash"))
 
 
+def embed_quantize(
+    emb: DataFrame, key: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization of an embedding column — the
+    standard 4x storage/bandwidth reduction of a 100 TB vector corpus
+    (float32 -> int8 + one float scale per vector):
+
+        scale = max(|v_i|) / 127 ;  q_i = round(v_i / scale)  in [-127, 127]
+
+    Pure projection (transform/array_max — nothing leaves the row); the
+    reconstruction v_i ~ q_i * scale is within scale/2 per component
+    (asserted in tests). Zero vectors get scale 0.0 and all-zero codes.
+    Returns (key, scale, q array<tinyint> as ints)."""
+    v = f"transform({vec}, x -> CAST(x AS DOUBLE))"
+    amax = f"array_max(transform({v}, x -> abs(x)))"
+    scale = f"({amax} / CAST(127 AS DOUBLE))"
+    q = (
+        f"CASE WHEN {amax} = 0.0 THEN transform({v}, x -> CAST(0 AS INT)) "
+        f"ELSE transform({v}, x -> CAST(round(x / {scale}) AS INT)) END"
+    )
+    return emb.select(
+        key,
+        F.round(F.expr(scale), 6).alias("scale"),
+        F.expr(q).alias("q"),
+    )
+
+
 def cosine_nn(
     emb: DataFrame, key: str = "vec_id", vec: str = "embedding", k: int = 1
 ) -> DataFrame:

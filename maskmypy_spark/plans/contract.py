@@ -1313,6 +1313,29 @@ def _q_audio_stats():
     return q, sql
 
 
+def _q_embed_quantize():
+    """int8 embedding quantization (operators/dedup.py:embed_quantize):
+    both engines compute per-vector max|v|/127 scales and rounded integer
+    codes via list transforms — no explode; q is int-valued so the list
+    cells hash exactly (floats stay top-level for the 6 dp round)."""
+    from ..operators import dedup
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.embed_quantize(tables.load(spark, sf, "embeddings"))
+
+    sql = (
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        "m AS (SELECT vec_id, v, "
+        "list_max(list_transform(v, x -> abs(x))) AS amax FROM e) "
+        "SELECT vec_id, round(amax / 127.0, 6) AS scale, "
+        "CASE WHEN amax = 0.0 THEN list_transform(v, x -> 0) "
+        "ELSE list_transform(v, x -> CAST(round(x / (amax / 127.0)) AS INT)) "
+        "END AS q FROM m"
+    )
+    return q, sql
+
+
 def _q_doc_repetition():
     """Gopher-style within-document duplicate-bigram fraction
     (operators/dedup.py:doc_repetition) — both engines build the n-gram
@@ -1669,4 +1692,5 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["audio_transcode"] = _q_audio_transcode()
     reg["video_transcode"] = _q_video_transcode()
     reg["doc_repetition"] = _q_doc_repetition()
+    reg["embed_quantize"] = _q_embed_quantize()
     return reg

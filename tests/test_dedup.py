@@ -145,6 +145,28 @@ def test_fingerprint_winnow_shared_run_guarantee(spark):
     assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
 
 
+def test_embed_quantize_reconstruction(spark):
+    """int8 quantization: codes within [-127, 127], reconstruction error
+    <= scale/2 + float32 ulp per component, zero vectors -> scale 0."""
+    import numpy as np
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [-2.5, 2.5, 1.25, -1.25]),
+        (3, [1e-6, -1e-6, 5e-7, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in dedup.embed_quantize(df).collect()}
+    assert got[1]["scale"] == 0.0 and got[1]["q"] == [0, 0, 0, 0]
+    for vid, vec in rows:
+        r = got[vid]
+        assert all(-127 <= c <= 127 for c in r["q"]), vid
+        scale = max(abs(v) for v in vec) / 127.0
+        for v, c in zip(vec, r["q"]):
+            assert abs(v - c * scale) <= scale / 2 + 1e-7, (vid, v, c)
+
+
 def test_doc_repetition_planted(spark):
     """Gopher repetition signal: hand-computable duplicate-bigram
     fractions, 0.0 for degenerate docs (NULL/empty/single-token)."""
