@@ -260,6 +260,45 @@ def test_k_verify_pipeline_plan_quality(spark):
     assert a == b
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """sources/bucketed.py: two tables bucketed on the join key with the
+    same bucket count join WITHOUT an Exchange on either side — the
+    persisted-shuffle co-location that saves re-moving the fact table on
+    every query at 100 TB. A plain parquet read of the same files (no
+    bucket spec) must show the Exchange, proving the gate is meaningful."""
+    from maskmypy_spark.sources import bucketed
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(2000, seed=42))
+    k = pts.selectExpr("pid", "CAST(pid % 7 AS INT) AS k_anonymity")
+    bucketed.write_bucketed(pts, "t_pts_b", str(tmp_path / "pts_b"), "pid", 8)
+    bucketed.write_bucketed(k, "t_k_b", str(tmp_path / "k_b"), "pid", 8)
+    # disable auto-broadcast: at test scale the dim side broadcasts (which
+    # also disables bucketed scans); the gate targets the at-scale shuffle
+    # path where neither side fits in a broadcast
+    with_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed.read_bucketed(spark, "t_pts_b").join(
+            bucketed.read_bucketed(spark, "t_k_b"), "pid"
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # broadcast is off, so ANY Exchange here would be a shuffle
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() == 2000
+
+        # control: the same files WITHOUT the bucket spec shuffle both sides
+        raw = spark.read.parquet(str(tmp_path / "pts_b")).join(
+            spark.read.parquet(str(tmp_path / "k_b")), "pid"
+        )
+        assert "Exchange" in _plan(raw)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_pts_b")
+        spark.sql("DROP TABLE IF EXISTS t_k_b")
+
+
 def test_mask_filter_pushdown_to_scan(spark):
     """A filter on the derived key pushes down to the parquet scan."""
     df = tables.sensitive_df(spark, "/root/testdata/sf0.001").where("pid <= 100")
