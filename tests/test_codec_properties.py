@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the pure-numpy codec layer —
+adversarial shapes and values the fixture corpus never produces. No Spark
+session needed; each property runs in milliseconds."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from maskmypy_spark.functions import adpcm, imagecodec, jpeg
+
+
+def _rand_img(draw_h, draw_w, seed):
+    rs = np.random.RandomState(seed)
+    return rs.randint(0, 256, (draw_h, draw_w, 3), dtype=np.uint8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.sampled_from([50, 75, 90, 98, 100]),
+)
+def test_jpeg_roundtrip_any_shape(h, w, seed, quality):
+    img = _rand_img(h, w, seed)
+    data = jpeg.encode_jpeg(img, quality)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    back = jpeg.decode_jpeg(data)
+    assert back.shape == img.shape
+    if quality == 100:
+        # all-ones quant tables: only DCT rounding error remains
+        assert imagecodec.psnr(img, back) > 40.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(8, 32),
+    w=st.integers(8, 48),
+    seed=st.integers(0, 2**31 - 1),
+    ri=st.integers(1, 9),
+)
+def test_jpeg_restart_interval_equals_plain(h, w, seed, ri):
+    img = _rand_img(h, w, seed)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 95))
+    with_rst = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 95, restart_interval=ri))
+    assert np.array_equal(plain, with_rst)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 3000),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_adpcm_roundtrip_any_samples(n, seed):
+    rs = np.random.RandomState(seed)
+    x = rs.randint(-32768, 32768, n).astype(np.int64)
+    data = adpcm.encode_adpcm(x)
+    assert len(data) == (n + 1) // 2
+    back = adpcm.decode_adpcm(data, n)
+    assert len(back) == n
+    assert back.dtype == np.int16
+    # determinism
+    assert adpcm.encode_adpcm(x) == data
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    freq=st.floats(50.0, 2000.0),
+    amp=st.floats(500.0, 20000.0),
+    n=st.integers(400, 2000),
+)
+def test_adpcm_tracks_tones(freq, amp, n):
+    # the codec's quality contract on audio-like signals
+    t = np.arange(n, dtype=np.float64)
+    x = np.round(amp * np.sin(2 * np.pi * freq * t / 16000.0)).astype(np.int64)
+    back = adpcm.decode_adpcm(adpcm.encode_adpcm(x), n)
+    assert adpcm.snr_db(x, back) > 10.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.sampled_from([8, 16, 24, 32, 64]),
+    w=st.sampled_from([8, 16, 24, 32, 64]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_integer_exact_hash_matches_float_hash(h, w, seed):
+    """The media-oracle integer phash equals the engine's float phash on
+    arbitrary images with 8|h, 8|w — not just the fixture corpus."""
+    from maskmypy_spark.plans import media_oracle
+
+    img = _rand_img(h, w, seed)
+    assert media_oracle.avg_hash_exact(img) == imagecodec.average_hash(img)

@@ -185,6 +185,34 @@ def test_doc_repetition_planted(spark):
     assert got == {0: 0.6, 1: 0.0, 2: 0.75, 3: 0.0, 4: 0.0, 5: 0.0}
 
 
+def test_doc_repetition_random_vs_python(spark):
+    """doc_repetition vs an independent Python computation over 40 random
+    word soups (skewed vocab so duplicates actually occur), n in {2, 3}."""
+    import numpy as np
+
+    rs = np.random.RandomState(11)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    rows = [
+        (i, " ".join(rs.choice(vocab, size=rs.randint(1, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3):
+        got = {
+            r["doc_id"]: r["dup_ngram_frac"]
+            for r in dedup.doc_repetition(df, n=n).collect()
+        }
+        for i, text in rows:
+            toks = text.split()
+            grams = [
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            ]
+            want = (
+                round(1.0 - len(set(grams)) / len(grams), 6) if grams else 0.0
+            )
+            assert got[i] == want, (n, i, text)
+
+
 def test_language_id_profiles(spark):
     import pandas as pd
 
