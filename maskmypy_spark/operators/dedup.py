@@ -91,6 +91,72 @@ def doc_repetition(
     )
 
 
+def curate(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    max_repetition: float = 0.3,
+    min_alpha: float = 0.4,
+    sample_rate: float | None = None,
+    seed: int = 1,
+    n: int = 2,
+) -> DataFrame:
+    """End-to-end text-curation pipeline — the composition the §2.11
+    operators exist for, in the cost shape a 100 TB corpus demands:
+
+    1. per-row quality gates (alphabetic ratio >= ``min_alpha``, Gopher
+       duplicate-``n``-gram fraction <= ``max_repetition``) — ONE
+       projection on the scan, nothing shuffles;
+    2. optional deterministic hash sample (``sample_rate`` — replayable,
+       partition-independent) — a pushdown filter;
+    3. exact-dedup keeper election (min key per content digest) over the
+       SURVIVORS — the pipeline's only shuffle, on the md5 digest, after
+       the cheap gates have already discarded rows.
+
+    NULL/empty texts drop at the alpha gate (undefined ratio). Gates
+    compare on the 6 dp-rounded metrics (the same values returned), so
+    boundary behavior is engine-exact. Returns the surviving keeper rows
+    as (key, alpha_ratio, dup_ngram_frac)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.rng import u_sql
+
+    toks = tokens_col(text)
+    cnt = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    rep = F.when(
+        cnt >= 1,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6),
+    ).otherwise(F.lit(0.0))
+    alpha = F.expr(
+        f"round(length(regexp_replace({text}, '[^a-zA-Z]', '')) / "
+        f"CAST(nullif(length({text}), 0) AS DOUBLE), 6)"
+    )
+    gated = (
+        df.select(
+            key,
+            F.col(text),
+            alpha.alias("alpha_ratio"),
+            rep.alias("dup_ngram_frac"),
+        )
+        .where(
+            (F.col("alpha_ratio") >= float(min_alpha))
+            & (F.col("dup_ngram_frac") <= float(max_repetition))
+        )
+    )
+    if sample_rate is not None:
+        gated = gated.where(F.expr(u_sql(key, TAG_SAMPLE, seed)) < float(sample_rate))
+    w = Window.partitionBy(F.md5(F.col(text)))
+    return (
+        gated.withColumn("_keep", F.min(key).over(w))
+        .where(F.col(key) == F.col("_keep"))
+        .select(key, "alpha_ratio", "dup_ngram_frac")
+    )
+
+
 TAG_SAMPLE = 10  # draw-site tag for hash_sample (disjoint from rng.py tags)
 
 # PII patterns restricted to syntax shared by Java regex (Spark) and RE2

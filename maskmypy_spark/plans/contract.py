@@ -1313,6 +1313,53 @@ def _q_audio_stats():
     return q, sql
 
 
+CURATE_MAX_REP = 0.3
+CURATE_MIN_ALPHA = 0.4
+CURATE_RATE = 0.8
+
+
+def _q_curate():
+    """The §2.11 capstone: the composed curation pipeline
+    (operators/dedup.py:curate — quality gates -> hash sample -> exact
+    keeper election) verified end-to-end as ONE query. The oracle chains
+    the same stages as CTEs: list-built bigrams + alpha ratio, the shared
+    hash-RNG sample draw, and a window-min keeper per md5 digest."""
+    from ..functions.rng import u_sql
+    from ..operators import dedup
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.curate(
+            tables.load(spark, sf, "documents"),
+            max_repetition=CURATE_MAX_REP,
+            min_alpha=CURATE_MIN_ALPHA,
+            sample_rate=CURATE_RATE,
+            seed=1,
+        )
+
+    samp = u_sql("doc_id", dedup.TAG_SAMPLE, 1)
+    sql = (
+        "WITH t AS (SELECT doc_id, text, "
+        "string_split_regex(trim(text), '\\s+') AS toks FROM documents), "
+        "c AS (SELECT doc_id, text, toks, len(toks) - 1 AS cnt FROM t), "
+        "g AS (SELECT doc_id, text, cnt, CASE WHEN cnt >= 1 THEN "
+        "list_transform(range(1, cnt + 1), "
+        "i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END AS grams FROM c), "
+        "m AS (SELECT doc_id, text, "
+        "round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / "
+        "CAST(nullif(length(text), 0) AS DOUBLE), 6) AS alpha_ratio, "
+        "CASE WHEN cnt >= 1 THEN "
+        "round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) "
+        "ELSE 0.0 END AS dup_ngram_frac FROM g), "
+        f"f AS (SELECT * FROM m WHERE alpha_ratio >= {flit(CURATE_MIN_ALPHA)} "
+        f"AND dup_ngram_frac <= {flit(CURATE_MAX_REP)} "
+        f"AND ({samp}) < {flit(CURATE_RATE)}), "
+        "k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep "
+        "FROM f) "
+        "SELECT doc_id, alpha_ratio, dup_ngram_frac FROM k WHERE doc_id = keep"
+    )
+    return q, sql
+
+
 def _q_embed_quantize():
     """int8 embedding quantization (operators/dedup.py:embed_quantize):
     both engines compute per-vector max|v|/127 scales and rounded integer
@@ -1693,4 +1740,5 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["video_transcode"] = _q_video_transcode()
     reg["doc_repetition"] = _q_doc_repetition()
     reg["embed_quantize"] = _q_embed_quantize()
+    reg["doc_curate"] = _q_curate()
     return reg

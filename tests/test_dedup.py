@@ -185,6 +185,42 @@ def test_doc_repetition_planted(spark):
     assert got == {0: 0.6, 1: 0.0, 2: 0.75, 3: 0.0, 4: 0.0, 5: 0.0}
 
 
+def test_curate_pipeline_semantics(spark):
+    """curate(): repetitious docs and symbol soup drop at the gates, exact
+    duplicates elect min-key keepers, NULL/empty text drops, and the whole
+    pipeline shows exactly one Exchange (the digest window) in the plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+            (2, "spam spam spam spam spam spam"),                # repetitious
+            (3, "$$$ 123 &&& 456 ::: 789 %%%"),                  # low alpha
+            (4, "a genuinely fine unique document here"),
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in dedup.curate(df).collect()}
+    assert got == {0, 4}
+
+    plan_buf = io.StringIO()
+    with redirect_stdout(plan_buf):
+        dedup.curate(df).explain(mode="formatted")
+    plan = plan_buf.getvalue()
+    assert plan.count("(1) Exchange") + plan.count(") Exchange") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # deterministic sampling: same seed same survivors, rate=0 drops all
+    a = {r["doc_id"] for r in dedup.curate(df, sample_rate=0.7, seed=5).collect()}
+    b = {r["doc_id"] for r in dedup.curate(df, sample_rate=0.7, seed=5).collect()}
+    assert a == b
+    assert dedup.curate(df, sample_rate=0.0).count() == 0
+
+
 def test_doc_repetition_random_vs_python(spark):
     """doc_repetition vs an independent Python computation over 40 random
     word soups (skewed vocab so duplicates actually occur), n in {2, 3}."""
