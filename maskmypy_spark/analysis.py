@@ -142,12 +142,28 @@ def nnd_delta(
     bit-identical to two independent :func:`nnd` runs. Composite row ids
     (side * 2^31 + key) satisfy the group-mode global-uniqueness contract;
     this requires key < 2^31 (re-key wider ids first — half the headroom of
-    the ungrouped okey bound)."""
+    the ungrouped okey bound). The bound is enforced at runtime: a key
+    outside [0, 2^31) raises inside the projection (``assert_true`` folded
+    into the uid expression — no extra job) instead of silently colliding
+    across sides."""
     from .operators.knn import estimate_cell_size
 
     if cs is None:
         cs = estimate_cell_size(sensitive, x, y)
-    uid = (F.col("_side") * F.lit(1 << 31) + F.col(key)).cast("long")
+    k = F.col(key)
+    bound_ok = (k >= 0) & (k < F.lit(1 << 31))
+    guard = F.coalesce(
+        F.assert_true(
+            bound_ok,
+            F.concat(
+                F.lit("nnd_delta: key out of [0, 2^31) — composite side*2^31+key "
+                      "row ids would collide across layers; re-key first (got "),
+                k.cast("string"), F.lit(")"),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    uid = (F.col("_side") * F.lit(1 << 31) + k + guard).cast("long")
 
     def _side(df: DataFrame, side: int) -> DataFrame:
         return df.select(
@@ -451,6 +467,12 @@ def ripleys_k(
             F.expr(u_sql(key, TAG_KSAMPLE, seed)) < F.lit(float(p))
         ).localCheckpoint(eager=False)
         n = df.count()
+        if n < 2:
+            raise ValueError(
+                f"ripleys_k: seeded thinning left {n} point(s) (target m≈"
+                f"{m_target} of {b.n}); K needs >= 2 — raise max_pairs or "
+                "pass max_pairs=None to skip thinning on this input"
+            )
         warnings.warn(
             f"ripleys_k: candidate volume at max_dist={max_dist:.6g} would be "
             f"~{frac:.3g} * n^2 pairs; thinned {b.n} -> {n} points "

@@ -340,6 +340,14 @@ class _BitReader:
         self.pos += 1
         if b == 0xFF:
             nxt = self.data[self.pos]
+            # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+            # fill bytes — skip runs of 0xFF so conformant files that pad
+            # before RSTn/EOI still decode (the last 0xFF is either the
+            # marker prefix or a stuffed-0xFF data byte; both leave acc
+            # identical since b == 0xFF either way)
+            while nxt == 0xFF:
+                self.pos += 1
+                nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte
             elif 0xD0 <= nxt <= 0xD7:
@@ -406,6 +414,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        while data[pos + 1] == 0xFF:  # spec-legal fill bytes before marker
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -505,6 +515,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 # encoders omit the final one).
                 br.acc = 0
                 br.nbits = 0
+                while (  # fill bytes before the restart marker
+                    br.pos + 1 < len(br.data)
+                    and br.data[br.pos] == 0xFF
+                    and br.data[br.pos + 1] == 0xFF
+                ):
+                    br.pos += 1
                 if (
                     br.pos + 1 < len(br.data)
                     and br.data[br.pos] == 0xFF

@@ -357,13 +357,18 @@ def ngram_jaccard_pairs(
                 UserWarning,
                 stacklevel=2,
             )
-            # the cached hot set stays pinned for the lazy anti-join below;
-            # it is tiny by construction (<= total_shingles / cap entries)
-            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-        else:
-            # common case: nothing hot — skip the anti-join entirely and
-            # release the cache immediately (no storage-memory leak)
-            hot.unpersist()
+            # The hot set must fit executor memory anyway (it is the
+            # anti-join's broadcast build side), so pulling it to the driver
+            # is no new bound; the collect reads the warm cache, the cache
+            # is then released immediately (no session-lifetime pin), and
+            # the anti-join probes a LocalRelation that never re-runs the
+            # shingle aggregate.
+            hot_df = sh.sparkSession.createDataFrame(
+                hot.collect(), schema="shingle string"
+            )
+            sh = sh.join(F.broadcast(hot_df), "shingle", "left_anti")
+        # in both branches the aggregate has fully served its purpose here
+        hot.unpersist()
     a = sh.select(F.col(key).alias("d1"), "shingle")
     b = sh.select(F.col(key).alias("d2"), "shingle")
     common = (

@@ -413,9 +413,14 @@ def street_k(
             if on_iteration is not None:
                 # the certificate aggregate is an extra job — only pay it
                 # when someone consumes the metrics
+                # avg over zero rows is NULL — coalesce so an empty masked
+                # frame reports 0.0 instead of float(None) raising TypeError
                 extra["region_exact_frac"] = float(
                     mr.agg(
-                        F.avg(F.col("region_exact").cast("double"))
+                        F.coalesce(
+                            F.avg(F.col("region_exact").cast("double")),
+                            F.lit(0.0),
+                        )
                     ).collect()[0][0]
                 )
             masked = mr.drop("region_exact")

@@ -243,6 +243,52 @@ def test_ripley_scale_guard(spark):
     assert sorted(map(tuple, small)) == sorted(map(tuple, exact))
 
 
+def test_nnd_delta_key_bound_guard(spark):
+    """ADVICE r04: keys >= 2^31 would silently collide across the packed
+    side*2^31+key row ids — the projection must raise instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from maskmypy_spark.sources import fixtures
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(20, seed=1))
+    bad = pts.withColumn("pid", (F.col("pid") + F.lit(1 << 31)).cast("long"))
+    cand = bad.withColumn("x", F.col("x") + 5.0)
+    with pytest.raises(Exception, match="nnd_delta"):
+        analysis.nnd_delta(bad, cand).collect()
+    # negative keys collide the same way (side 1, key -k == side 0, key 2^31-k)
+    neg = pts.withColumn("pid", (-F.col("pid") - 1).cast("long"))
+    with pytest.raises(Exception, match="nnd_delta"):
+        analysis.nnd_delta(neg, neg.withColumn("x", F.col("x") + 5.0)).collect()
+
+
+def test_ripley_thinning_underflow_guard(spark):
+    """ADVICE r04: an unlucky seeded draw can keep < 2 points — the scale
+    denominator n*(n-1) must raise a clear ValueError, not ZeroDivisionError."""
+    import warnings
+
+    import pytest
+
+    from maskmypy_spark.sources import fixtures
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(40, seed=7)).cache()
+    pts.count()
+    raised = 0
+    for seed in range(1, 13):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            try:
+                # frac=1 at this max_dist, m_target floors at 2, p=0.05:
+                # several of these deterministic draws keep 0 or 1 points
+                analysis.ripleys_k(
+                    pts, max_dist=30000.0, max_pairs=4.0, seed=seed
+                )
+            except ValueError as e:
+                assert "ripleys_k" in str(e) and ">= 2" in str(e)
+                raised += 1
+    assert raised, "no seed triggered the underflow guard"
+
+
 def test_suppress_and_satisfaction(spark):
     from maskmypy_spark.operators.suppress import suppress
 

@@ -46,6 +46,28 @@ def test_jpeg_restart_interval_equals_plain(h, w, seed, ri):
     assert np.array_equal(plain, with_rst)
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """ADVICE r04: T.81 B.1.1.2 allows any number of 0xFF fill bytes before
+    a marker. Plant fills before a header marker and before every restart
+    marker; the decode must be bit-identical to the unpadded file."""
+    img = _rand_img(24, 40, seed=123)
+    data = jpeg.encode_jpeg(img, 95, restart_interval=2)
+    ref = jpeg.decode_jpeg(data)
+    # fill before the first header marker after SOI
+    padded = data[:2] + b"\xff" + data[2:]
+    # fill before each RSTn marker in the stream
+    out = bytearray()
+    i = 0
+    while i < len(padded):
+        b = padded[i]
+        if b == 0xFF and i + 1 < len(padded) and 0xD0 <= padded[i + 1] <= 0xD7:
+            out += b"\xff\xff"
+        out.append(b)
+        i += 1
+    back = jpeg.decode_jpeg(bytes(out))
+    assert np.array_equal(ref, back)
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     n=st.integers(0, 3000),
