@@ -77,6 +77,16 @@ def _salt_cell_join(lt, rt, x, y, salt, broadcast_others, extra_on=()):
         on = ["_cell", *extra_on]
     if broadcast_others:
         rt = F.broadcast(rt)
+    else:
+        # Catalyst's sizeInBytes for the probe side IGNORES the 9x cell
+        # explode, so a mid-size self-join sneaks under the session's 64 MB
+        # auto-broadcast threshold and the planner builds a hash relation
+        # from the EXPLODED side — millions of rows serialized through the
+        # driver, once per escalation round (the r4 q_voronoi_nn bench
+        # regression). Neither side of the cell join is a dimension unless
+        # the caller says so: pin the shuffled sort-merge join (SMJ also
+        # beats shuffled-hash ~2.5x here; measured round 3).
+        lt = lt.hint("merge")
     return lt.join(rt, on).drop("_cell", *(["_sk"] if salt > 1 else []))
 
 

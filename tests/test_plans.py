@@ -139,6 +139,54 @@ def test_nearest_neighbor_argmin_hash_aggregates(spark, monkeypatch):
     assert "HashAggregate" in plan
 
 
+def test_nearest_neighbor_cell_join_never_broadcasts_fact_sides(spark, monkeypatch):
+    """r4 q_voronoi_nn regression gate: Catalyst's size estimate ignores the
+    9x cell explode, so under the session's 64 MB auto-broadcast threshold a
+    mid-size self-join planned a BroadcastHashJoin that built a hash
+    relation from the EXPLODED probe side — millions of rows through the
+    driver, once per escalation round. With broadcast_others=False the cell
+    join must stay a shuffled SortMergeJoin at ANY size estimate (tiny test
+    inputs are exactly the trigger condition: both sides sit far below the
+    threshold, so without the merge hint the planner always broadcasts)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from maskmypy_spark.operators.knn import knn_join
+    from maskmypy_spark.operators.voronoi import voronoi
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, *a, **kw: self
+    )
+
+    def _cell_join_lines(df):
+        # simple mode keeps the join keys on the operator's own line; the
+        # coordinate-recovery joins (on okey/key) MAY legitimately broadcast
+        # at small estimated sizes — only the _cell join is fact x fact
+        return [
+            ln
+            for ln in _plan(df, mode="simple").splitlines()
+            if "Join" in ln and "_cell" in ln
+        ]
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(200, seed=42))
+    lines = _cell_join_lines(voronoi(pts, cs=1000.0))
+    assert lines, "no cell join found in plan"
+    assert all("SortMergeJoin" in ln for ln in lines), lines
+
+    others = pts.selectExpr("pid AS nn_id", "x AS nn_x", "y AS nn_y")
+    lines = _cell_join_lines(knn_join(pts, others, k=2, cs=1000.0, exclude_self=True))
+    assert lines, "no cell join found in plan"
+    assert all("SortMergeJoin" in ln for ln in lines), lines
+
+    # the explicit dimension path still broadcasts when the caller asks
+    lines = _cell_join_lines(
+        knn_join(
+            pts, others, k=2, cs=1000.0, exclude_self=True,
+            broadcast_others=True,
+        )
+    )
+    assert lines and all("BroadcastHashJoin" in ln for ln in lines), lines
+
+
 def test_nearest_neighbor_results_cs_independent(spark):
     """The starting cell size is a pure performance knob: results must be
     identical at any cs (the escalation loop guarantees exactness; the
