@@ -522,13 +522,33 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     banded = sig.select(key, *band_cols)
-    pairs = None
-    for b in range(bands):
-        l = banded.select(F.col(key).alias("d1"), F.col(f"band_{b}").alias("_bk"))
-        r = banded.select(F.col(key).alias("d2"), F.col(f"band_{b}").alias("_bk"))
-        p = l.join(r, "_bk").where(F.col("d1") < F.col("d2")).select("d1", "d2")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
+    # ONE banded shuffle (VERDICT r04 next #6): explode the b band keys into
+    # (band_idx, band_key) rows and self-join once on the pair — the same
+    # pigeonhole shape as hamming_pairs — instead of b sequential joins over
+    # the banded frame (b small scans, but b shuffle stages). Both hashers
+    # already fold the band index into the key, so _b in the join condition
+    # is belt-and-braces, not semantics.
+    bv = banded.select(
+        F.col(key),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"), F.col(f"band_{b}").alias("v")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(key, F.col("_band.b").alias("_b"), F.col("_band.v").alias("_v"))
+    l = bv.select(F.col(key).alias("d1"), "_b", "_v")
+    r = bv.select(F.col(key).alias("d2"), "_b", "_v")
+    cand = (
+        l.join(r, ["_b", "_v"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
     sh = shingles(df, key, text, n)
     sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(key).alias("d1"), "shingle")
@@ -641,11 +661,16 @@ def dedup_clusters(
         .withColumn("label", F.col("a"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("a").alias("b"), F.col("label").alias("_nl")), "b"
         ).groupBy("a").agg(F.min("_nl").alias("_best"))
-        new = (
+        # the changed-count rides the round's own materialization job as an
+        # Observation metric (VERDICT r04 next #8) — no per-round probe job
+        obs = Observation()
+        labels = (
             labels.join(nbr, "a", "left")
             .select(
                 "a",
@@ -656,10 +681,11 @@ def dedup_clusters(
                     F.col("label"), F.coalesce("_best", F.col("label"))
                 )).alias("_chg"),
             )
-        ).localCheckpoint(eager=True)
-        changed = new.where("_chg").limit(1).count()
-        labels = new.select("a", "label").localCheckpoint(eager=True)
-        if changed == 0:
+            .observe(obs, F.sum(F.col("_chg").cast("long")).alias("_n_chg"))
+            .select("a", "label")
+            .localCheckpoint(eager=True)
+        )
+        if (obs.get["_n_chg"] or 0) == 0:
             break
     else:
         raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")

@@ -57,6 +57,25 @@ def test_minhash_lsh_matches_exact_on_high_threshold(docs):
     assert lsh == exact
 
 
+def test_minhash_lsh_single_banded_shuffle(docs):
+    """VERDICT r04 next #6: the LSH candidate generation must be ONE
+    exploded band self-join (like hamming_pairs' pigeonhole join), not one
+    join per band — b shuffle stages collapse to a single (band, key)
+    shuffle."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = dedup.minhash_lsh_pairs(docs, 0.7)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    band_joins = [
+        ln for ln in plan.splitlines() if "Join" in ln and "_v" in ln
+    ]
+    assert len(band_joins) == 1, plan
+
+
 def test_simhash_hamming_close_for_neardups(docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
 
