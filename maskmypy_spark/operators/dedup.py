@@ -119,6 +119,31 @@ def curate(
     as (key, alpha_ratio, dup_ngram_frac)."""
     from pyspark.sql.window import Window
 
+    gated = _quality_gated(
+        df, key, text, max_repetition, min_alpha, n, sample_rate, seed
+    )
+    w = Window.partitionBy(F.md5(F.col(text)))
+    return (
+        gated.withColumn("_keep", F.min(key).over(w))
+        .where(F.col(key) == F.col("_keep"))
+        .select(key, "alpha_ratio", "dup_ngram_frac")
+    )
+
+
+def _quality_gated(
+    df: DataFrame,
+    key: str,
+    text: str,
+    max_repetition: float,
+    min_alpha: float,
+    n: int,
+    sample_rate: float | None,
+    seed: int,
+) -> DataFrame:
+    """The shared gate stage of the curate pipelines: per-row quality
+    metrics + threshold filters (+ optional deterministic hash sample) as
+    ONE projection-and-filter over the scan — nothing shuffles. Returns
+    (key, text, alpha_ratio, dup_ngram_frac)."""
     from ..functions.rng import u_sql
 
     toks = tokens_col(text)
@@ -149,11 +174,63 @@ def curate(
     )
     if sample_rate is not None:
         gated = gated.where(F.expr(u_sql(key, TAG_SAMPLE, seed)) < float(sample_rate))
-    w = Window.partitionBy(F.md5(F.col(text)))
+    return gated
+
+
+def curate_near(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    max_repetition: float = 0.3,
+    min_alpha: float = 0.4,
+    sample_rate: float | None = None,
+    seed: int = 1,
+    n: int = 2,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """:func:`curate` with NEAR-duplicate dedup in place of the exact
+    digest election — the full web-corpus curation composition:
+
+    1. quality gates (+ optional hash sample) — one projection, no shuffle;
+    2. MinHash-LSH candidate pairs over the SURVIVORS + exact-Jaccard
+       verification (:func:`minhash_lsh_pairs` — one banded shuffle, never
+       all-pairs);
+    3. connected components over the verified pairs
+       (:func:`dedup_clusters`) — component sizes are bounded by real
+       near-dup cliques, not the corpus;
+    4. cluster-keeper election: a gated doc survives iff it is in no
+       near-dup pair or is its component's minimum key (= the component's
+       cluster_id label).
+
+    The gated frame is scanned by both the pair derivation and the final
+    election — two passes over a projection, the standard trade against
+    materializing a corpus-scale intermediate. Returns (key, alpha_ratio,
+    dup_ngram_frac, n_near_dups) where ``n_near_dups`` is the size of the
+    keeper's duplicate cluster (1 for docs with no near-dup)."""
+    gated = _quality_gated(
+        df, key, text, max_repetition, min_alpha, n, sample_rate, seed
+    )
+    pairs = minhash_lsh_pairs(
+        gated, threshold, num_hashes, bands, key, text, shingle_n, hasher
+    )
+    clusters = dedup_clusters(pairs).withColumnRenamed("doc_id", "_cd")
+    csize = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_cn"))
     return (
-        gated.withColumn("_keep", F.min(key).over(w))
-        .where(F.col(key) == F.col("_keep"))
-        .select(key, "alpha_ratio", "dup_ngram_frac")
+        gated.join(
+            clusters.withColumnRenamed("_cd", key), key, "left"
+        )
+        .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(key)))
+        .join(csize.withColumnRenamed("cluster_id", key), key, "left")
+        .select(
+            key,
+            "alpha_ratio",
+            "dup_ngram_frac",
+            F.coalesce(F.col("_cn"), F.lit(1)).cast("long").alias("n_near_dups"),
+        )
     )
 
 

@@ -1360,6 +1360,100 @@ def _q_curate():
     return q, sql
 
 
+def _q_curate_near():
+    """The §2.11 NEAR-dup curation capstone (VERDICT r04 next #4):
+    operators/dedup.py:curate_near — quality gates -> hash sample ->
+    MinHash-LSH (md5 mode, so band membership is SQL-expressible) -> exact
+    Jaccard verify -> recursive-CTE connected components -> cluster-keeper
+    election, verified end-to-end as ONE chained oracle. Every stage's CTE
+    is the already-proven oracle fragment of its standalone entry
+    (doc_curate, dedup_minhash_lsh, dedup_clusters) re-rooted at the
+    previous stage's output."""
+    from ..functions.rng import u_sql
+    from ..operators import dedup
+
+    NH, BANDS = 32, 8
+    ROWS = NH // BANDS
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return dedup.curate_near(
+            tables.load(spark, sf, "documents"),
+            max_repetition=CURATE_MAX_REP,
+            min_alpha=CURATE_MIN_ALPHA,
+            sample_rate=CURATE_RATE,
+            seed=1,
+            threshold=JACCARD_T,
+            num_hashes=NH,
+            bands=BANDS,
+            hasher="md5",
+        )
+
+    samp = u_sql("doc_id", dedup.TAG_SAMPLE, 1)
+    P = dedup.MINHASH_P
+    hp = f"(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {P})"
+    mins = ", ".join(
+        f"min(({hp} * {a} + {b}) % {P}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.minhash_coeffs(NH))
+    )
+    band_pred = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh_{b * ROWS + r} = b.mh_{b * ROWS + r}" for r in range(ROWS)
+        )
+        + ")"
+        for b in range(BANDS)
+    )
+    sql = (
+        # --- stage 1+2: quality gates + hash sample (doc_curate fragment)
+        "WITH tok0 AS (SELECT doc_id, text, "
+        "string_split_regex(trim(text), '\\s+') AS toks FROM documents), "
+        "c0 AS (SELECT doc_id, text, toks, len(toks) - 1 AS cnt FROM tok0), "
+        "g0 AS (SELECT doc_id, text, cnt, CASE WHEN cnt >= 1 THEN "
+        "list_transform(range(1, cnt + 1), "
+        "i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END AS grams FROM c0), "
+        "m0 AS (SELECT doc_id, text, "
+        "round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / "
+        "CAST(nullif(length(text), 0) AS DOUBLE), 6) AS alpha_ratio, "
+        "CASE WHEN cnt >= 1 THEN "
+        "round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) "
+        "ELSE 0.0 END AS dup_ngram_frac FROM g0), "
+        f"f AS (SELECT * FROM m0 WHERE alpha_ratio >= {flit(CURATE_MIN_ALPHA)} "
+        f"AND dup_ngram_frac <= {flit(CURATE_MAX_REP)} "
+        f"AND ({samp}) < {flit(CURATE_RATE)}), "
+        # --- stage 3: MinHash-LSH + exact Jaccard over the SURVIVORS
+        # (dedup_minhash_lsh fragment re-rooted at f)
+        "toks1 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM f), "
+        "sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s "
+        "FROM toks1, UNNEST(generate_series(1, len(tk) - 2)) AS u(i) WHERE len(tk) >= 3), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id), "
+        "cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
+        f"ON a.doc_id < b.doc_id AND ({band_pred})), "
+        "common AS (SELECT cd.d1, cd.d2, count(*) AS c FROM cand cd "
+        "JOIN sh sa ON sa.doc_id = cd.d1 JOIN sh sb ON sb.doc_id = cd.d2 AND sb.s = sa.s "
+        "GROUP BY cd.d1, cd.d2), "
+        "jac AS (SELECT d1, d2 FROM common "
+        "JOIN sizes na ON na.doc_id = d1 JOIN sizes nb ON nb.doc_id = d2 "
+        f"WHERE round(c / (na.n + nb.n - c), 6) >= {flit(JACCARD_T)}), "
+        # --- stage 4: connected components (dedup_clusters fragment)
+        "edges AS (SELECT d1 AS a, d2 AS b FROM jac UNION SELECT d2, d1 FROM jac), "
+        "nodes AS (SELECT DISTINCT a FROM edges), "
+        "reach AS (WITH RECURSIVE r(a, b) AS ("
+        "SELECT a, b FROM edges UNION "
+        "SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a) SELECT * FROM r), "
+        "comp AS (SELECT n.a AS doc_id, least(n.a, min(r.b)) AS cluster_id "
+        "FROM nodes n LEFT JOIN reach r ON n.a = r.a GROUP BY n.a), "
+        "csize AS (SELECT cluster_id, count(*) AS cn FROM comp GROUP BY cluster_id) "
+        # --- stage 5: cluster-keeper election
+        "SELECT f.doc_id, f.alpha_ratio, f.dup_ngram_frac, "
+        "CAST(coalesce(cs.cn, 1) AS BIGINT) AS n_near_dups "
+        "FROM f LEFT JOIN comp ON comp.doc_id = f.doc_id "
+        "LEFT JOIN csize cs ON cs.cluster_id = f.doc_id "
+        "WHERE comp.cluster_id IS NULL OR comp.cluster_id = f.doc_id"
+    )
+    return q, sql
+
+
 def _q_embed_quantize():
     """int8 embedding quantization (operators/dedup.py:embed_quantize):
     both engines compute per-vector max|v|/127 scales and rounded integer
@@ -1741,4 +1835,5 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["doc_repetition"] = _q_doc_repetition()
     reg["embed_quantize"] = _q_embed_quantize()
     reg["doc_curate"] = _q_curate()
+    reg["doc_curate_near"] = _q_curate_near()
     return reg

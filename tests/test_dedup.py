@@ -76,6 +76,59 @@ def test_minhash_lsh_single_banded_shuffle(docs):
     assert len(band_joins) == 1, plan
 
 
+def test_curate_near_elects_cluster_keepers(docs):
+    """curate_near (gates -> LSH -> components -> keeper election): with
+    the gates held open, every planted near-dup pair collapses to its
+    min-id keeper carrying the cluster size; untouched docs survive as
+    singletons. Value-level equality vs the independent chained DuckDB
+    oracle is covered by the doc_curate_near contract entry."""
+    out = {
+        r["doc_id"]: r["n_near_dups"]
+        for r in dedup.curate_near(
+            docs, min_alpha=0.0, max_repetition=1.0, threshold=0.7
+        ).collect()
+    }
+    pair_rows = dedup.minhash_lsh_pairs(docs, 0.7).collect()
+    paired = {r["d1"] for r in pair_rows} | {r["d2"] for r in pair_rows}
+    for j, src in enumerate([3, 17, 42, 99]):
+        assert 1000 + j not in out and out[src] >= 2
+    assert 2000 not in out and out[7] >= 2
+    # survivor count: singletons + one keeper per connected component
+    parent: dict = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            a = parent.get(a, a)
+        return a
+
+    for r in pair_rows:
+        ra, rb = find(r["d1"]), find(r["d2"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {find(d) for d in paired}
+    assert len(out) == docs.count() - len(paired) + len(comps)
+    for d in out:
+        if d not in paired:
+            assert out[d] == 1
+
+
+def test_curate_near_gate_stage_has_no_shuffle(docs):
+    """The gate (+sample) stage of the curate pipelines must stay a pure
+    projection+filter — zero Exchange before the dedup machinery."""
+    import io
+    from contextlib import redirect_stdout
+
+    gated = dedup._quality_gated(
+        docs, "doc_id", "text", 0.3, 0.4, 2, 0.8, 1
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        gated.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_simhash_hamming_close_for_neardups(docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
 
