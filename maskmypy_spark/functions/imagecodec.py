@@ -146,17 +146,31 @@ def decode_jpg(data: bytes) -> np.ndarray:
     return _jpeg.decode_jpeg(data)
 
 
+def encode_jpg420(img: np.ndarray) -> bytes:
+    """4:2:0 chroma-subsampled baseline JFIF — the near-universal layout of
+    crawled web JPEGs (round-5 decoder wall removal). Luminance rides the
+    same quality-98 path as "jpg" (the phash/luma invariant is unchanged);
+    chroma is 2x2 box-averaged, so chroma DETAIL is discarded by design —
+    the full-RGB PSNR >= 40 dB invariant holds on smooth-chroma content,
+    the LUMA PSNR >= 40 dB invariant on any content."""
+    from . import jpeg as _jpeg
+
+    return _jpeg.encode_jpeg(img, quality=98, subsampling="420")
+
+
 CODECS = {
     "ppm": (encode_ppm, decode_ppm),
     "bmp": (encode_bmp, decode_bmp),
     "png": (encode_png, decode_png),
     "jpg": (encode_jpg, decode_jpg),
+    # decode_jpg reads the sampling layout from the stream itself
+    "jpg420": (encode_jpg420, decode_jpg),
 }
 
 #: formats where decode(encode(img)) != img; consumers that maintain the
 #: "phash matches a fresh decode of bytes" invariant must re-decode after
 #: encoding to these (operators/images.py:reencode does)
-LOSSY = {"jpg"}
+LOSSY = {"jpg", "jpg420"}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:

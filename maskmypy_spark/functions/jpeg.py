@@ -12,10 +12,12 @@ images: a self-contained ITU-T T.81 baseline encoder/decoder —
 - decode: marker parse (DQT/SOF0/DHT/SOS/DRI) -> Huffman scan decode ->
   one vectorized dequantize + IDCT -> YCbCr -> RGB.
 
-Scope (honestly bounded): baseline sequential, 8-bit, 3-component 4:4:4 —
-everything this encoder emits plus any other 4:4:4 baseline file. Chroma
-subsampling (4:2:0) and progressive scans raise ``NotImplementedError``
-(the remaining stub surface, down from "all of JPEG"). The decoder builds
+Scope (honestly bounded): baseline sequential, 8-bit, 3-component, any
+sampling layout whose factors divide the maxima — 4:4:4, 4:2:2, and the
+near-universal web layout 4:2:0 (round 5; the encoder emits all three via
+``subsampling=``, the decoder walks the general MCU lattice and
+upsamples chroma by replication). Progressive scans (SOF2) raise
+``NotImplementedError`` (the remaining stub surface). The decoder builds
 its Huffman tables from the stream's own DHT segments, so round-trip
 correctness never depends on table choice. Quality 90 keeps PSNR >= 40 dB
 on the fixture corpus (asserted in tests/test_images.py) — the engine's
@@ -215,15 +217,34 @@ def _to_blocks(chan: np.ndarray) -> np.ndarray:
     )
 
 
+SAMPLINGS = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
 def encode_jpeg(
-    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+    img: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """Baseline JFIF bytes for a (h, w, 3) uint8 RGB array (4:4:4).
+    """Baseline JFIF bytes for a (h, w, 3) uint8 RGB array.
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker (with
     DC-predictor reset) every that many MCUs — the spec's error-resilience
-    feature, and the decoder's restart path test vehicle."""
+    feature, and the decoder's restart path test vehicle.
+    ``subsampling`` picks the chroma layout: "444" (every component full
+    resolution, 1 block each per 8x8 MCU), "422" (Cb/Cr halved
+    horizontally, 16x8 MCU = 2 Y + Cb + Cr), or "420" (Cb/Cr halved both
+    ways — the near-universal web layout — 16x16 MCU = 4 Y + Cb + Cr);
+    chroma planes are 2x2 (or 2x1) box-averaged before the DCT."""
+    samp = SAMPLINGS[subsampling]
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
     h, w, _ = img.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    mh, mw = 8 * vmax, 8 * hmax  # MCU pixel dims
+    ph, pw = (h + mh - 1) // mh * mh, (w + mw - 1) // mw * mw
     rgb = np.pad(img.astype(np.float64), ((0, ph - h), (0, pw - w), (0, 0)), "edge")
     r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
     ycc = np.stack(
@@ -243,56 +264,63 @@ def encode_jpeg(
         _assign_codes(AC_CHR_BITS, AC_CHR_VALS),
     )
 
-    # all blocks of all 3 components: DCT + quantize vectorized
+    # all blocks of all 3 components: subsample + DCT + quantize vectorized
     comp_q = []
-    for c in range(3):
-        blocks = _to_blocks(ycc[c] - 128.0)
+    comp_nbx = []
+    for c, (hi, vi) in enumerate(samp):
+        plane = ycc[c]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        blocks = _to_blocks(plane - 128.0)
         coef = np.einsum("ij,njk,lk->nil", _D, blocks, _D)
         q = ql if c == 0 else qc
         zz = np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
         comp_q.append(zz)
+        comp_nbx.append(plane.shape[1] // 8)
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    n_by, n_bx = ph // 8, pw // 8
-    n_mcu = n_by * n_bx
-    for bi in range(n_mcu):  # interleaved 4:4:4 MCU = 1 block/component
-        if restart_interval and bi and bi % restart_interval == 0:
+    mcus_y, mcus_x = ph // mh, pw // mw
+    for mi in range(mcus_y * mcus_x):
+        if restart_interval and mi and mi % restart_interval == 0:
             bw.align()
-            bw.buf += bytes([0xFF, 0xD0 + (bi // restart_interval - 1) % 8])
+            bw.buf += bytes([0xFF, 0xD0 + (mi // restart_interval - 1) % 8])
             prev_dc = [0, 0, 0]
-        for c in range(3):
+        my, mx = divmod(mi, mcus_x)
+        for c, (hi, vi) in enumerate(samp):
             t = 0 if c == 0 else 1
             dct, act = dc_tabs[t], ac_tabs[t]
-            zz = comp_q[c][bi]
-            diff = int(zz[0]) - prev_dc[c]
-            prev_dc[c] = int(zz[0])
-            s, extra = _mag_bits(diff)
-            code, ln = dct[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(extra, s)
-            run = 0
-            last_nz = 0
-            nz = np.nonzero(zz[1:])[0]
-            last_nz = nz[-1] + 1 if len(nz) else 0
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = act[0xF0]  # ZRL
+            for by in range(vi):
+                for bx in range(hi):
+                    zz = comp_q[c][(my * vi + by) * comp_nbx[c] + (mx * hi + bx)]
+                    diff = int(zz[0]) - prev_dc[c]
+                    prev_dc[c] = int(zz[0])
+                    s, extra = _mag_bits(diff)
+                    code, ln = dct[s]
                     bw.write(code, ln)
-                    run -= 16
-                s, extra = _mag_bits(v)
-                code, ln = act[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(extra, s)
-                run = 0
-            if last_nz < 63:
-                code, ln = act[0x00]  # EOB
-                bw.write(code, ln)
+                    if s:
+                        bw.write(extra, s)
+                    run = 0
+                    nz = np.nonzero(zz[1:])[0]
+                    last_nz = nz[-1] + 1 if len(nz) else 0
+                    for i in range(1, last_nz + 1):
+                        v = int(zz[i])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = act[0xF0]  # ZRL
+                            bw.write(code, ln)
+                            run -= 16
+                        s, extra = _mag_bits(v)
+                        code, ln = act[(run << 4) | s]
+                        bw.write(code, ln)
+                        bw.write(extra, s)
+                        run = 0
+                    if last_nz < 63:
+                        code, ln = act[0x00]  # EOB
+                        bw.write(code, ln)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -303,8 +331,8 @@ def encode_jpeg(
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(q.reshape(64)[ZIGZAG].astype(np.uint8))
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack("BBB", cid, 0x11, tq)  # 4:4:4
+    for cid, tq, (hi, vi) in ((1, 0, samp[0]), (2, 1, samp[1]), (3, 1, samp[2])):
+        out += struct.pack("BBB", cid, (hi << 4) | vi, tq)
     for cls, tid, bits, vals in (
         (0, 0, DC_LUM_BITS, DC_LUM_VALS),
         (0, 1, DC_CHR_BITS, DC_CHR_VALS),
@@ -400,7 +428,10 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB from baseline 4:4:4 JFIF bytes."""
+    """(h, w, 3) uint8 RGB from baseline JFIF bytes — any sampling layout
+    whose factors divide the maxima (4:4:4, 4:2:2, 4:2:0, ...): the scan is
+    walked MCU by MCU with h_i x v_i blocks per component, and subsampled
+    chroma planes are replicated back to full resolution after the IDCT."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a jpeg (missing SOI)")
     pos = 2
@@ -438,14 +469,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = [
                 (seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]) for i in range(n)
             ]
-            if any(s != 0x11 for _, s, _t in comps):
-                raise NotImplementedError(
-                    "chroma-subsampled jpeg (only 4:4:4 baseline supported)"
-                )
             if n != 3:
                 raise NotImplementedError(
                     f"{n}-component jpeg (only 3-component RGB/YCbCr supported)"
                 )
+            if any(
+                not (1 <= (s >> 4) <= 4 and 1 <= (s & 0xF) <= 4)
+                for _, s, _t in comps
+            ):
+                raise ValueError("sampling factors must be in 1..4")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
         elif marker == 0xC4:  # DHT
@@ -471,42 +503,56 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if scan_start < 0 or not comps:
         raise ValueError("no scan in jpeg")
 
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    n_by, n_bx = ph // 8, pw // 8
-    n_blocks = n_by * n_bx
     ncomp = len(comps)
-    coefs = np.zeros((ncomp, n_blocks, 64), dtype=np.float64)
+    samp = [(s >> 4, s & 0xF) for _, s, _t in comps]
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    if any(hmax % hi or vmax % vi for hi, vi in samp):
+        raise NotImplementedError("non-integer sampling ratio")
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcus_x * mcus_y
+    # per-component block grids cover the FULL MCU lattice (padding blocks
+    # included — they decode like any other and are cropped after the IDCT)
+    nbx = [mcus_x * hi for hi, _ in samp]
+    nby = [mcus_y * vi for _, vi in samp]
+    coefs = [np.zeros((nby[c] * nbx[c], 64), dtype=np.float64) for c in range(ncomp)]
     br = _BitReader(data[scan_start:])
     prev_dc = [0] * ncomp
     bi = 0
-    while bi < n_blocks:
+    while bi < n_mcu:
         try:
+            my, mx = divmod(bi, mcus_x)
             for ci in range(ncomp):
                 _, dct, act = scan_comps[ci]
                 dtree, atree = huff[(0, dct)], huff[(1, act)]
-                s = _read_symbol(br, dtree)
-                diff = _extend(br.read_bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                blk = coefs[ci, bi]
-                blk[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = _read_symbol(br, atree)
-                    if rs == 0x00:  # EOB
-                        break
-                    run, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("bad AC symbol")
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    blk[k] = _extend(br.read_bits(size), size)
-                    k += 1
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = coefs[ci][(my * vi + by) * nbx[ci] + (mx * hi + bx)]
+                        blk[:] = 0.0  # clear stale values on an MCU retry
+                        s = _read_symbol(br, dtree)
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        blk[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, atree)
+                            if rs == 0x00:  # EOB
+                                break
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(br.read_bits(size), size)
+                            k += 1
             bi += 1
-            if restart and bi % restart == 0 and bi < n_blocks:
+            if restart and bi % restart == 0 and bi < n_mcu:
                 # Restart boundary: the encoder pads the entropy segment
                 # with 1-bits to a byte edge, then emits RSTn. Discard the
                 # pad bits (byte-align) and consume the marker directly —
@@ -532,17 +578,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             br.sync_restart()
             prev_dc = [0] * ncomp
 
-    # vectorized dequantize + IDCT per component
+    # vectorized dequantize + IDCT per component, then chroma upsample
     planes = []
     for ci in range(ncomp):
         q = qt[comps[ci][2]]
-        dez = np.zeros((n_blocks, 64))
+        dez = np.zeros((nby[ci] * nbx[ci], 64))
         dez[:, ZIGZAG] = coefs[ci]
         blocks = dez.reshape(-1, 8, 8) * q
         spatial = np.einsum("ji,njk,kl->nil", _D, blocks, _D) + 128.0
         plane = (
-            spatial.reshape(n_by, n_bx, 8, 8).transpose(0, 2, 1, 3).reshape(ph, pw)
+            spatial.reshape(nby[ci], nbx[ci], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby[ci] * 8, nbx[ci] * 8)
         )
+        hi, vi = samp[ci]
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        plane = plane[:ch, :cw]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # nearest-replication upsample to full res
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:h, :w])
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     rgb = np.stack(

@@ -46,8 +46,9 @@ from ..functions.rng import u_np
 SEED = 42
 _SIZES = (16, 32, 64)
 
-# fixture draw tags (sources/fixtures.py:29-30 — the corpus definition)
+# fixture draw tags (sources/fixtures.py:29-31 — the corpus definition)
 _T_W, _T_H, _T_PIX = 210, 211, 212
+_T_SW, _T_SH, _T_SG = 214, 215, 216
 _T_AU_LEN, _T_AU_FREQ, _T_AU_NOISE = 231, 232, 233
 
 
@@ -141,6 +142,47 @@ def phash_dedup_rows() -> tuple[tuple[str, str, int], ...]:
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
     return tuple((k, find(k), int(k == find(k))) for k in ids)
+
+
+def fixture_tile_image(i: int, seed: int = SEED) -> np.ndarray:
+    """Raw pixels of flat-tile fixture image ``i``
+    (sources/fixtures.py:make_tile_image's published formula, codec-free).
+    Constant 16x16 tiles aligned to the 4:2:0 MCU lattice: chroma is
+    constant within every 2x2 subsampling neighborhood and each 8x8 DCT
+    block is DC-only with a quality-98 quant step of 1, so the engine's
+    jpg420 round trip of this corpus is pixel-exact — which is what lets
+    the phash-of-ORIGINAL oracle below pin the full 4:2:0 decode chain."""
+    one = np.array([i], dtype=np.int64)
+    w = (32, 64)[int(u_np(one, _T_SW, seed)[0] * 2) % 2]
+    h = (32, 64)[int(u_np(one, _T_SH, seed)[0] * 2) % 2]
+    tw, th = w // 16, h // 16
+    u = u_np(np.arange(3 * tw * th, dtype=np.int64) + i * 97, _T_SG, seed)
+    vals = np.floor(u * 256.0).astype(np.int64).reshape(th, tw, 3)
+    return (
+        np.repeat(np.repeat(vals, 16, axis=0), 16, axis=1)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+_N_TILE = 80
+
+
+@lru_cache(maxsize=1)
+def image_420_rows() -> tuple[tuple[str, str, int, int, int], ...]:
+    """(image_id, fmt, w, h, phash) after the engine re-encodes the
+    flat-tile corpus to 4:2:0 baseline JPEG and refreshes phash from a
+    fresh decode of those bytes. The oracle rows hash the ORIGINAL pixels
+    by the integer-exact path — equality holds iff the engine's whole
+    jpg420 encode -> decode -> hash chain is pixel-faithful on this
+    corpus (proved: DC-only blocks, quant step 1, constant chroma per
+    subsampling neighborhood)."""
+    rows = []
+    for i in range(_N_TILE):
+        img = fixture_tile_image(i)
+        h, w = img.shape[:2]
+        rows.append((f"til{i:08d}", "jpg420", w, h, avg_hash_exact(img)))
+    return tuple(rows)
 
 
 _RS_W = _RS_H = 24  # resize contract target (8 | 24, so phash stays exact)

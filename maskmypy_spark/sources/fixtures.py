@@ -28,6 +28,7 @@ SIZES = [16, 32, 64]
 # fixture-local draw tags (disjoint from mask tags)
 _T_CL, _T_BG, _T_GX1, _T_GX2, _T_GY1, _T_GY2, _T_UX, _T_UY = range(201, 209)
 _T_W, _T_H, _T_PIX, _T_CAP = range(210, 214)
+_T_SW, _T_SH, _T_SG = range(214, 217)
 
 _WORDS = [
     "harbor", "pine", "granite", "raven", "tide", "lantern", "moss",
@@ -84,6 +85,60 @@ def make_image(i: int, seed: int) -> tuple[bytes, int, int, str, int]:
     ).astype(np.uint8)
     data = imagecodec.encode(img, fmt)
     return data, w, h, fmt, imagecodec.average_hash(img)
+
+
+TILE = 16  # one 4:2:0 MCU
+TILE_SIZES = (32, 64)
+
+
+def make_tile_image(i: int, seed: int) -> tuple[bytes, int, int, str, int]:
+    """Deterministic flat-tile image: constant 16x16 RGB tiles (graphic /
+    cartoon web content). The tiles align with the 4:2:0 MCU lattice, so
+    chroma is CONSTANT within every 2x2 subsampling neighborhood and every
+    8x8 DCT block is constant (DC-only; the quality-98 DC quant step is 1)
+    — a jpg420 round trip of this corpus is PIXEL-EXACT, which is what
+    lets the image_decode_420 contract entry pin the full 4:2:0
+    encode->decode chain against an independent phash-of-original oracle.
+    (make_image's per-pixel chroma noise is the designed opposite pole,
+    where subsampling discards detail by construction — its signal-level
+    behavior is covered by the PSNR property tests.)"""
+    w = TILE_SIZES[int(rng.u_np(np.array([i]), _T_SW, seed)[0] * 2) % 2]
+    h = TILE_SIZES[int(rng.u_np(np.array([i]), _T_SH, seed)[0] * 2) % 2]
+    fmt = FMTS[i % len(FMTS)]
+    tw, th = w // TILE, h // TILE
+    u = rng.u_np(np.arange(3 * tw * th, dtype=np.int64) + i * 97, _T_SG, seed)
+    vals = np.floor(u * 256.0).astype(np.int64).reshape(th, tw, 3)
+    img = (
+        np.repeat(np.repeat(vals, TILE, axis=0), TILE, axis=1)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    data = imagecodec.encode(img, fmt)
+    return data, w, h, fmt, imagecodec.average_hash(img)
+
+
+def tile_images(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """input_hint-shaped table of the flat-tile corpus (same schema and
+    distributed generation as :func:`sensitive_images`)."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            xs, ys = point_pattern(ids, seed)
+            rows = []
+            for k, i in enumerate(ids):
+                data, w, h, fmt, ph = make_tile_image(int(i), seed)
+                rows.append(
+                    (f"til{int(i):08d}", int(i), data, w, h, fmt,
+                     caption(int(i), seed), ph, float(xs[k]), float(ys[k]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "pid", "bytes", "w", "h", "fmt",
+                         "caption", "phash", "x", "y"],
+            )
+
+    parts = max(8, min(256, n // 2000 + 1))
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=IMAGE_SCHEMA)
 
 
 def caption(i: int, seed: int) -> str:

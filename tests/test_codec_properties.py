@@ -46,6 +46,69 @@ def test_jpeg_restart_interval_equals_plain(h, w, seed, ri):
     assert np.array_equal(plain, with_rst)
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.sampled_from([50, 75, 90, 98, 100]),
+    ss=st.sampled_from(["420", "422"]),
+)
+def test_jpeg_subsampled_roundtrip_any_shape(h, w, seed, quality, ss):
+    """4:2:0 / 4:2:2 layouts survive any shape (odd dims, sub-MCU images)
+    and keep the LUMA channel within the same fidelity as 4:4:4 — chroma
+    detail is discarded by design on noisy content."""
+    img = _rand_img(h, w, seed)
+    data = jpeg.encode_jpeg(img, quality, subsampling=ss)
+    back = jpeg.decode_jpeg(data)
+    assert back.shape == img.shape
+    if quality >= 98 and h * w >= 64:
+        lum = lambda a: a.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        mse = np.mean((lum(img) - lum(back)) ** 2)
+        assert mse == 0 or 10 * np.log10(255.0**2 / mse) > 40.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_420_gray_equals_444_within_rounding(h, w, seed):
+    """Constant-chroma (grayscale) content: subsampling is lossless, so the
+    4:2:0 decode must agree with the 4:4:4 decode at quality 100 up to the
+    final-rounding tie (decoded chroma carries ~1e-13 float epsilon that
+    differs between layouts; a luma reconstruction landing exactly on an
+    x.5 boundary can tip either way — both roundings are within 1 of the
+    source). A wrong MCU walk or chroma upsample scrambles whole blocks,
+    so the <=1 envelope plus a near-zero mean is still a structural
+    proof."""
+    rs = np.random.RandomState(seed)
+    g = rs.randint(0, 256, (h, w), dtype=np.uint8)
+    gray = np.stack([g, g, g], axis=2)
+    d444 = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, 100, subsampling="444"))
+    d420 = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, 100, subsampling="420"))
+    diff = np.abs(d444.astype(np.int64) - d420.astype(np.int64))
+    assert diff.max() <= 1 and diff.mean() < 0.05
+    assert np.abs(d420.astype(np.int64) - gray.astype(np.int64)).max() <= 1
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 48),
+    seed=st.integers(0, 2**31 - 1),
+    ri=st.integers(1, 9),
+)
+def test_jpeg_420_restart_interval_equals_plain(h, w, seed, ri):
+    img = _rand_img(h, w, seed)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 95, subsampling="420"))
+    with_rst = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, 95, restart_interval=ri, subsampling="420")
+    )
+    assert np.array_equal(plain, with_rst)
+
+
 def test_jpeg_fill_bytes_before_markers():
     """ADVICE r04: T.81 B.1.1.2 allows any number of 0xFF fill bytes before
     a marker. Plant fills before a header marker and before every restart

@@ -111,11 +111,17 @@ def test_jpeg_codec_baseline():
     via_registry = imagecodec.decode(imagecodec.encode(smooth, "jpg"), "jpg")
     assert imagecodec.psnr(smooth, via_registry) >= 40.0
 
-    # declared scope: a 4:2:0 SOF0 must raise, not mis-decode
+    # 4:2:0 in scope (round 5): full roundtrip via the registry format,
+    # luma within the 4:4:4 fidelity, shape preserved
+    via_420 = imagecodec.decode(imagecodec.encode(smooth, "jpg420"), "jpg420")
+    assert via_420.shape == smooth.shape
+    assert imagecodec.psnr(smooth, via_420) >= 40.0  # smooth chroma: full-RGB holds
+
+    # declared scope: progressive (SOF2) must raise, not mis-decode
     patched = bytearray(data)
     sof = patched.find(b"\xff\xc0")
-    patched[sof + 11] = 0x22  # Y sampling 2x2
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    patched[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
         jpeg.decode_jpeg(bytes(patched))
 
     # restart markers (DRI + RSTn with DC reset + pre-marker byte padding):

@@ -62,6 +62,30 @@ def test_row_counts():
     assert len(media_oracle.image_resize_rows()) == 120
     assert len(media_oracle.audio_stats_rows()) == 100
     assert len(media_oracle.video_frame_stats_rows()) == 192
+    assert len(media_oracle.image_420_rows()) == 80
+
+
+def test_tile_image_reconstruction_codec_free():
+    # codec-free pixel reconstruction == the flat-tile fixture's decoded
+    # bytes, and the integer-exact hash agrees with the engine's float one
+    for i in (0, 1, 13, 42, 79):
+        data, w, h, fmt, ph = fixtures.make_tile_image(i, media_oracle.SEED)
+        img = media_oracle.fixture_tile_image(i)
+        assert np.array_equal(img, imagecodec.decode(data, fmt)), i
+        assert media_oracle.avg_hash_exact(img) == ph, i
+
+
+def test_tile_corpus_jpg420_roundtrip_pixel_exact():
+    """The property the image_decode_420 oracle RESTS ON: the flat-tile
+    corpus round-trips the 4:2:0 codec pixel-exactly (MCU-aligned constant
+    tiles -> DC-only blocks with quality-98 quant step 1, constant chroma
+    per subsampling neighborhood). If an engine change breaks this, the
+    contract entry's phash-of-original oracle stops being a decode proof —
+    fail here with the image index instead."""
+    for i in range(media_oracle._N_TILE):
+        img = media_oracle.fixture_tile_image(i)
+        back = imagecodec.decode(imagecodec.encode(img, "jpg420"), "jpg420")
+        assert np.array_equal(img, back), i
 
 
 def test_phash_dedup_recovers_planted_pairs():
