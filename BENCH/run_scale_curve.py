@@ -2,7 +2,8 @@
 
 No sf1 parquet exists in the sandbox, so (per the verdict's alternative)
 the curve runs the SAME k-verify / locationswap / mask jobs over
-JVM-generated point tables at 600k -> 2M -> 6M rows on local[32].
+JVM-generated point tables at 600k -> 2M -> 6M -> 20M rows on local[32]
+(the 20M decade added per VERDICT r04 next #7).
 
 The box AREA scales with the row count (constant point/address density) —
 the honest 100 TB analogy: a growing corpus covers more geography at
@@ -31,7 +32,7 @@ sys.path.insert(0, REPO)
 
 BASE_ROWS = 600_000          # sf0.1's lineitem-derived point count
 BASE_W, BASE_H = 2.0e4, 1.0e4
-SCALES = [600_000, 2_000_000, 6_000_000]
+SCALES = [600_000, 2_000_000, 6_000_000, 20_000_000]
 
 
 def main() -> None:

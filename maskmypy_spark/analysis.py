@@ -213,6 +213,8 @@ def k_anonymity_address(
     broadcast_addr: bool = False,
     disp: DataFrame | None = None,
     slim: bool = False,
+    cs: float | None = None,
+    addr_cell_col: str | None = None,
 ) -> DataFrame:
     """Address-based spatial k-anonymity (reference analysis.py:582-596):
     k = 1 + #addresses within the closed disk of radius = per-point
@@ -237,6 +239,12 @@ def k_anonymity_address(
     the preferred shape when downstream only needs the k column (the
     satisfaction pipeline, monitoring sinks). Values are identical to the
     general path (contract-verified).
+
+    ``addr_cell_col`` names a precomputed cell-id column on ``address``
+    (requires pinning ``cs`` to the value it was computed at) — the stored-
+    dimension pattern: an address table persisted with its cell index
+    (ideally bucketed on it, sources/bucketed.py) joins exchange-free on
+    the build side. See distance_join(right_cell_col=).
     """
     if disp is not None:
         cand = disp.withColumnRenamed("_distance", "_radius")
@@ -247,10 +255,12 @@ def k_anonymity_address(
     # adaptive per-row ring (left_radius_col): each point probes only the
     # cells its OWN displacement disk can reach — ~1.4x fewer candidate
     # pairs than a max-radius ring at sf0.1, identical results
+    addr_cols = [akey, ax, ay] + ([addr_cell_col] if addr_cell_col else [])
     pairs = distance_join(
-        cand.select(key, x, y, "_radius"), address.select(akey, ax, ay),
+        cand.select(key, x, y, "_radius"), address.select(*addr_cols),
         radius=float(max_radius), lx=x, ly=y, rx=ax, ry=ay, salt=salt,
         broadcast_right=broadcast_addr, left_radius_col="_radius",
+        cs=cs, right_cell_col=addr_cell_col,
     )
     if slim:
         return (

@@ -48,6 +48,7 @@ def distance_join(
     extra_on: list[tuple[str, str]] | None = None,
     explode_side: str = "right",
     left_radius_col: str | None = None,
+    right_cell_col: str | None = None,
 ) -> DataFrame:
     """Inner join of all (left, right) pairs with distance <= radius.
 
@@ -83,7 +84,17 @@ def distance_join(
             f"({base}) + dx * {cells.CELL_K} + dy)))"
         )
         lt = left.withColumn("_cell", F.explode(F.expr(ringlist)))
-        rt = right.withColumn("_cell", F.expr(cells.cell_sql(rx, ry, cs)))
+        # right_cell_col = the 100 TB dimension pattern: a stored address/
+        # node table persists its cell index once (cells.cell_sql at the
+        # SAME cs — the caller owns cs agreement), ideally written BUCKETED
+        # on it (sources/bucketed.py), so recurring joins scan the build
+        # side exchange-free instead of re-tagging + re-shuffling it every
+        # query (BENCH/exp_bucketed.py measures the effect).
+        rt = (
+            right.withColumnRenamed(right_cell_col, "_cell")
+            if right_cell_col
+            else right.withColumn("_cell", F.expr(cells.cell_sql(rx, ry, cs)))
+        )
         if salt > 1:
             lt = lt.withColumn("_salt", (F.xxhash64(lx, ly) % salt + salt) % salt)
             rt = rt.withColumn(

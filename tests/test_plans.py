@@ -347,6 +347,49 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_k_b")
 
 
+def test_k_verify_bucketed_address_exchange_free(spark, tmp_path):
+    """distance_join(right_cell_col=) + a cell-bucketed address table: the
+    k-verification build side scans exchange-free (its cell index was
+    persisted at write time), values identical to the computed-cell path.
+    One Exchange disappears vs the plain plan — at 100 TB that is the
+    recurring re-shuffle of the whole stored dimension."""
+    from maskmypy_spark import analysis
+    from maskmypy_spark.functions import cells
+    from maskmypy_spark.operators.donut import donut
+    from maskmypy_spark.sources import bucketed
+
+    CS = 250.0  # radius 500 / 2 — pinned, so the stored cell index is valid
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(500, seed=42))
+    addr = spark.createDataFrame(fixtures.addresses_pdf(3000, seed=43))
+    addr_c = addr.withColumn("cell", F.expr(cells.cell_sql("ax", "ay", CS)))
+    bucketed.write_bucketed(addr_c, "t_addr_c", str(tmp_path / "addr_c"), "cell", 8)
+
+    m = donut(analysis.with_original(pts), 100.0, 500.0, seed=42)
+    disp = analysis.displacement_from_payload(m)
+
+    def kv(address, **kw):
+        return analysis.k_anonymity_address(
+            pts, m.drop("_orig_x", "_orig_y"), address, max_radius=500.0,
+            disp=disp, slim=True, cs=CS, **kw
+        ).select("pid", "k_anonymity")
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = kv(addr)
+        buck = kv(bucketed.read_bucketed(spark, "t_addr_c"), addr_cell_col="cell")
+        p_plain, p_buck = _plan(plain), _plan(buck)
+        assert "Bucketed: true" in p_buck, p_buck
+        n_ex = lambda p: p.count(") Exchange")
+        assert n_ex(p_buck) == n_ex(p_plain) - 1, (p_plain, p_buck)
+        a = {tuple(r) for r in plain.collect()}
+        b = {tuple(r) for r in buck.collect()}
+        assert a == b and len(a) == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_addr_c")
+
+
 def test_mask_filter_pushdown_to_scan(spark):
     """A filter on the derived key pushes down to the parquet scan."""
     df = tables.sensitive_df(spark, "/root/testdata/sf0.001").where("pid <= 100")
