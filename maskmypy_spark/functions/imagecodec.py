@@ -158,19 +158,31 @@ def encode_jpg420(img: np.ndarray) -> bytes:
     return _jpeg.encode_jpeg(img, quality=98, subsampling="420")
 
 
+def encode_jpgprog(img: np.ndarray) -> bytes:
+    """Progressive (SOF2) 4:2:0 JFIF — the other common crawled-web layout
+    (round-5 decoder wall removal, completing the JPEG surface). Same
+    quantized coefficients as "jpg420", delivered over the conventional
+    10-scan spectral-selection + successive-approximation script, so it
+    decodes bit-identically to its baseline twin."""
+    from . import jpeg as _jpeg
+
+    return _jpeg.encode_jpeg(img, quality=98, subsampling="420", progressive=True)
+
+
 CODECS = {
     "ppm": (encode_ppm, decode_ppm),
     "bmp": (encode_bmp, decode_bmp),
     "png": (encode_png, decode_png),
     "jpg": (encode_jpg, decode_jpg),
-    # decode_jpg reads the sampling layout from the stream itself
+    # decode_jpg reads the sampling layout (and scan mode) from the stream
     "jpg420": (encode_jpg420, decode_jpg),
+    "jpgprog": (encode_jpgprog, decode_jpg),
 }
 
 #: formats where decode(encode(img)) != img; consumers that maintain the
 #: "phash matches a fresh decode of bytes" invariant must re-decode after
 #: encoding to these (operators/images.py:reencode does)
-LOSSY = {"jpg", "jpg420"}
+LOSSY = {"jpg", "jpg420", "jpgprog"}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:

@@ -12,12 +12,18 @@ images: a self-contained ITU-T T.81 baseline encoder/decoder —
 - decode: marker parse (DQT/SOF0/DHT/SOS/DRI) -> Huffman scan decode ->
   one vectorized dequantize + IDCT -> YCbCr -> RGB.
 
-Scope (honestly bounded): baseline sequential, 8-bit, 3-component, any
-sampling layout whose factors divide the maxima — 4:4:4, 4:2:2, and the
-near-universal web layout 4:2:0 (round 5; the encoder emits all three via
-``subsampling=``, the decoder walks the general MCU lattice and
-upsamples chroma by replication). Progressive scans (SOF2) raise
-``NotImplementedError`` (the remaining stub surface). The decoder builds
+Scope (honestly bounded): 8-bit Huffman, 3-component, any sampling layout
+whose factors divide the maxima — 4:4:4, 4:2:2, and the near-universal web
+layout 4:2:0 (round 5; the encoder emits all three via ``subsampling=``,
+the decoder walks the general MCU lattice and upsamples chroma by
+replication) — in both scan modes: baseline/extended sequential
+(SOF0/SOF1) and progressive (SOF2, round 5: spectral selection +
+successive approximation per T.81 Annex G, full EOBn-run and
+correction-bit handling on decode; the writer emits the conventional
+10-scan script and, since progressive re-codes the same quantized
+coefficients losslessly, decodes bit-identically to its baseline twin —
+an exact testable property). Lossless (SOF3), arithmetic-coded (SOF9+),
+and hierarchical files raise ``NotImplementedError``. The decoder builds
 its Huffman tables from the stream's own DHT segments, so round-trip
 correctness never depends on table choice. Quality 90 keeps PSNR >= 40 dB
 on the fixture corpus (asserted in tests/test_images.py) — the engine's
@@ -224,22 +230,17 @@ SAMPLINGS = {
 }
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    restart_interval: int = 0,
-    subsampling: str = "444",
-) -> bytes:
-    """Baseline JFIF bytes for a (h, w, 3) uint8 RGB array.
-    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker (with
-    DC-predictor reset) every that many MCUs — the spec's error-resilience
-    feature, and the decoder's restart path test vehicle.
-    ``subsampling`` picks the chroma layout: "444" (every component full
-    resolution, 1 block each per 8x8 MCU), "422" (Cb/Cr halved
-    horizontally, 16x8 MCU = 2 Y + Cb + Cr), or "420" (Cb/Cr halved both
-    ways — the near-universal web layout — 16x16 MCU = 4 Y + Cb + Cr);
-    chroma planes are 2x2 (or 2x1) box-averaged before the DCT."""
-    samp = SAMPLINGS[subsampling]
+def _quantize_planes(
+    img: np.ndarray, quality: int, samp: tuple
+) -> tuple[int, int, int, int, np.ndarray, np.ndarray, list, list]:
+    """RGB -> YCbCr -> subsample -> DCT -> quantize, all components.
+
+    Returns (h, w, ph, pw, ql, qc, comp_q, comp_nbx): ``comp_q[c]`` is the
+    (n_blocks, 64) int64 zigzag-ordered quantized coefficients of component
+    c over the FULL MCU lattice, ``comp_nbx[c]`` that lattice's block width.
+    Shared by the baseline and progressive writers — both entropy-code the
+    exact same coefficients, which is what makes their decodes comparable
+    bit-for-bit."""
     hmax = max(hi for hi, _ in samp)
     vmax = max(vi for _, vi in samp)
     h, w, _ = img.shape
@@ -255,16 +256,6 @@ def encode_jpeg(
         ]
     )
     ql, qc = _quality_tables(quality)
-    dc_tabs = (
-        _assign_codes(DC_LUM_BITS, DC_LUM_VALS),
-        _assign_codes(DC_CHR_BITS, DC_CHR_VALS),
-    )
-    ac_tabs = (
-        _assign_codes(AC_LUM_BITS, AC_LUM_VALS),
-        _assign_codes(AC_CHR_BITS, AC_CHR_VALS),
-    )
-
-    # all blocks of all 3 components: subsample + DCT + quantize vectorized
     comp_q = []
     comp_nbx = []
     for c, (hi, vi) in enumerate(samp):
@@ -278,6 +269,46 @@ def encode_jpeg(
         zz = np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
         comp_q.append(zz)
         comp_nbx.append(plane.shape[1] // 8)
+    return h, w, ph, pw, ql, qc, comp_q, comp_nbx
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+    progressive: bool = False,
+) -> bytes:
+    """JFIF bytes for a (h, w, 3) uint8 RGB array.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker (with
+    DC-predictor reset) every that many MCUs — the spec's error-resilience
+    feature, and the decoder's restart path test vehicle.
+    ``subsampling`` picks the chroma layout: "444" (every component full
+    resolution, 1 block each per 8x8 MCU), "422" (Cb/Cr halved
+    horizontally, 16x8 MCU = 2 Y + Cb + Cr), or "420" (Cb/Cr halved both
+    ways — the near-universal web layout — 16x16 MCU = 4 Y + Cb + Cr);
+    chroma planes are 2x2 (or 2x1) box-averaged before the DCT.
+    ``progressive=True`` emits SOF2 with the conventional 10-scan script
+    (spectral selection + successive approximation, see
+    :func:`_progressive_scans`) over the SAME quantized coefficients, so a
+    progressive file decodes bit-identically to its baseline twin."""
+    samp = SAMPLINGS[subsampling]
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    h, w, ph, pw, ql, qc, comp_q, comp_nbx = _quantize_planes(img, quality, samp)
+    if progressive:
+        if restart_interval:
+            raise ValueError("restart_interval is a baseline-writer feature")
+        return _write_progressive(h, w, ph, pw, ql, qc, comp_q, comp_nbx, samp)
+    dc_tabs = (
+        _assign_codes(DC_LUM_BITS, DC_LUM_VALS),
+        _assign_codes(DC_CHR_BITS, DC_CHR_VALS),
+    )
+    ac_tabs = (
+        _assign_codes(AC_LUM_BITS, AC_LUM_VALS),
+        _assign_codes(AC_CHR_BITS, AC_CHR_VALS),
+    )
+    mh, mw = 8 * vmax, 8 * hmax
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
@@ -322,6 +353,22 @@ def encode_jpeg(
                         code, ln = act[0x00]  # EOB
                         bw.write(code, ln)
 
+    out = _write_headers(h, w, ql, qc, samp, sof_marker=0xC0)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += struct.pack("BB", cid, tabs)
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _write_headers(
+    h: int, w: int, ql: np.ndarray, qc: np.ndarray, samp: tuple, sof_marker: int
+) -> bytearray:
+    """SOI + APP0 + DQT x2 + SOFn + DHT x4 (the Annex-K typical tables)."""
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
@@ -330,7 +377,7 @@ def encode_jpeg(
     for tid, q in ((0, ql), (1, qc)):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(q.reshape(64)[ZIGZAG].astype(np.uint8))
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([0xFF, sof_marker]) + struct.pack(">HBHHB", 17, 8, h, w, 3)
     for cid, tq, (hi, vi) in ((1, 0, samp[0]), (2, 1, samp[1]), (3, 1, samp[2])):
         out += struct.pack("BBB", cid, (hi << 4) | vi, tq)
     for cls, tid, bits, vals in (
@@ -341,15 +388,236 @@ def encode_jpeg(
     ):
         out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), (cls << 4) | tid)
         out += bytes(bits) + bytes(vals)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
-    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
-        out += struct.pack("BB", cid, tabs)
-    out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
-    out += bw.flush()
+    return out
+
+
+# ------------------------------------------------------ progressive writer
+
+# The conventional 10-scan script (the same shape libjpeg's default uses):
+# DC of all components at Al=1 then a DC refinement pass; luma AC split
+# 1-5 / 6-63 at Al=2 with two refinement passes down to Al=0; chroma AC in
+# one band at Al=1 plus one refinement. Entries: (comp, Ss, Se, Ah, Al)
+# with comp=None meaning the interleaved all-component DC scan.
+_PROG_SCRIPT = (
+    (None, 0, 0, 0, 1),
+    (0, 1, 5, 0, 2),
+    (1, 1, 63, 0, 1),
+    (2, 1, 63, 0, 1),
+    (0, 6, 63, 0, 2),
+    (0, 1, 63, 2, 1),
+    (None, 0, 0, 1, 0),
+    (0, 1, 63, 1, 0),
+    (1, 1, 63, 1, 0),
+    (2, 1, 63, 1, 0),
+)
+
+
+def _comp_scan_blocks(
+    c: int, samp: tuple, h: int, w: int, comp_nbx: list
+) -> tuple[int, int, int]:
+    """Non-interleaved scan geometry for component c: T.81 A.2.2 — the scan
+    covers ceil(comp_dim/8) blocks of the COMPONENT's own dimensions, not
+    the full MCU lattice (lattice padding blocks are never coded; they only
+    feed cropped-away pixels). Returns (nby_s, nbx_s, lattice_row_stride)."""
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    hi, vi = samp[c]
+    cw = (w * hi + hmax - 1) // hmax
+    ch = (h * vi + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8, comp_nbx[c]
+
+
+def _write_progressive(
+    h: int,
+    w: int,
+    ph: int,
+    pw: int,
+    ql: np.ndarray,
+    qc: np.ndarray,
+    comp_q: list,
+    comp_nbx: list,
+    samp: tuple,
+) -> bytes:
+    """SOF2 file: same headers/tables as baseline, then the 10-scan script.
+
+    Uses the Annex-K typical Huffman tables for every scan by capping EOB
+    runs at one block (EOB0 only) — the EOBn symbols (r<<4 with 1<=r<=14)
+    that longer runs would need don't exist in those tables. Spec-legal,
+    costs a little compression, keeps the writer table-free."""
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    mcus_x, mcus_y = pw // (8 * hmax), ph // (8 * vmax)
+    dc_tabs = (
+        _assign_codes(DC_LUM_BITS, DC_LUM_VALS),
+        _assign_codes(DC_CHR_BITS, DC_CHR_VALS),
+    )
+    ac_tabs = (
+        _assign_codes(AC_LUM_BITS, AC_LUM_VALS),
+        _assign_codes(AC_CHR_BITS, AC_CHR_VALS),
+    )
+    out = _write_headers(h, w, ql, qc, samp, sof_marker=0xC2)
+    for comp, ss, se, ah, al in _PROG_SCRIPT:
+        if comp is None:  # interleaved DC scan, all components
+            out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+            for cid, tabs in ((1, 0x00), (2, 0x10), (3, 0x10)):
+                out += struct.pack("BB", cid, tabs)
+            out += struct.pack("BBB", 0, 0, (ah << 4) | al)
+            if ah == 0:
+                out += _scan_dc_first(comp_q, samp, mcus_x, mcus_y, comp_nbx,
+                                      dc_tabs, al)
+            else:
+                out += _scan_dc_refine(comp_q, samp, mcus_x, mcus_y, comp_nbx, al)
+        else:
+            tab = ac_tabs[0 if comp == 0 else 1]
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += struct.pack("BB", comp + 1, 0x00 if comp == 0 else 0x01)
+            out += struct.pack("BBB", ss, se, (ah << 4) | al)
+            nby_s, nbx_s, stride = _comp_scan_blocks(comp, samp, h, w, comp_nbx)
+            if ah == 0:
+                out += _scan_ac_first(comp_q[comp], stride, nbx_s, nby_s,
+                                      tab, ss, se, al)
+            else:
+                out += _scan_ac_refine(comp_q[comp], stride, nbx_s, nby_s,
+                                       tab, ss, se, al)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _scan_dc_first(
+    comp_q: list, samp: tuple, mcus_x: int, mcus_y: int, comp_nbx: list,
+    dc_tabs: tuple, al: int,
+) -> bytes:
+    """First DC scan: differences of the point-transformed (arithmetic
+    shift, T.81 G.1.2.1) DC values, coded exactly like baseline DC."""
+    bw = _BitWriter()
+    prev = [0] * len(samp)
+    for mi in range(mcus_y * mcus_x):
+        my, mx = divmod(mi, mcus_x)
+        for c, (hi, vi) in enumerate(samp):
+            tab = dc_tabs[0 if c == 0 else 1]
+            for by in range(vi):
+                for bx in range(hi):
+                    dc = int(comp_q[c][(my * vi + by) * comp_nbx[c] + mx * hi + bx][0])
+                    t = dc >> al
+                    diff = t - prev[c]
+                    prev[c] = t
+                    s, extra = _mag_bits(diff)
+                    code, ln = tab[s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(extra, s)
+    return bw.flush()
+
+
+def _scan_dc_refine(
+    comp_q: list, samp: tuple, mcus_x: int, mcus_y: int, comp_nbx: list, al: int
+) -> bytes:
+    """DC refinement: one raw bit (bit ``al`` of the DC value) per block —
+    no Huffman coding at all (T.81 G.1.2.1)."""
+    bw = _BitWriter()
+    for mi in range(mcus_y * mcus_x):
+        my, mx = divmod(mi, mcus_x)
+        for c, (hi, vi) in enumerate(samp):
+            for by in range(vi):
+                for bx in range(hi):
+                    dc = int(comp_q[c][(my * vi + by) * comp_nbx[c] + mx * hi + bx][0])
+                    bw.write((dc >> al) & 1, 1)
+    return bw.flush()
+
+
+def _scan_ac_first(
+    zzs: np.ndarray, stride: int, nbx_s: int, nby_s: int,
+    tab: dict, ss: int, se: int, al: int,
+) -> bytes:
+    """First AC scan of one band: run-length code the point-transformed
+    (magnitude truncation, G.1.2.2) coefficients; EOB runs capped at 1."""
+    bw = _BitWriter()
+    for by in range(nby_s):
+        for bx in range(nbx_s):
+            zz = zzs[by * stride + bx]
+            vals = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                vals.append(t if v >= 0 else -t)
+            last = -1
+            for i, v in enumerate(vals):
+                if v:
+                    last = i
+            r = 0
+            for i in range(last + 1):
+                v = vals[i]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = tab[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    r -= 16
+                s, extra = _mag_bits(v)
+                code, ln = tab[(r << 4) | s]
+                bw.write(code, ln)
+                bw.write(extra, s)
+                r = 0
+            if last < se - ss:
+                code, ln = tab[0x00]  # EOB (run of exactly 1)
+                bw.write(code, ln)
+    return bw.flush()
+
+
+def _scan_ac_refine(
+    zzs: np.ndarray, stride: int, nbx_s: int, nby_s: int,
+    tab: dict, ss: int, se: int, al: int,
+) -> bytes:
+    """AC refinement scan (T.81 G.1.2.3). Newly-significant coefficients
+    (magnitude exactly 1 at this Al) are coded as run/1 symbols + a sign
+    bit; already-nonzero coefficients crossed by a run contribute one
+    buffered correction bit each, flushed after the next emitted symbol —
+    the exact interleaving the decoder's block walk consumes. EOB runs
+    capped at 1 (typical tables have no EOBn symbols)."""
+    bw = _BitWriter()
+    for by in range(nby_s):
+        for bx in range(nbx_s):
+            zz = zzs[by * stride + bx]
+            absv = []
+            sign = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                absv.append(abs(v) >> al)
+                sign.append(v >= 0)
+            last_new = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    last_new = i
+            r = 0
+            pend: list[int] = []  # buffered correction bits
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= last_new:
+                    code, ln = tab[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    for bit in pend:
+                        bw.write(bit, 1)
+                    pend = []
+                if t > 1:  # history coefficient: correction bit only
+                    pend.append(t & 1)
+                    continue
+                code, ln = tab[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if sign[i] else 0, 1)
+                for bit in pend:
+                    bw.write(bit, 1)
+                pend = []
+                r = 0
+            if r > 0 or pend:
+                code, ln = tab[0x00]  # EOB carries the tail correction bits
+                bw.write(code, ln)
+                for bit in pend:
+                    bw.write(bit, 1)
+    return bw.flush()
 
 
 # ----------------------------------------------------------------- decoder
@@ -427,132 +695,203 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB from baseline JFIF bytes — any sampling layout
-    whose factors divide the maxima (4:4:4, 4:2:2, 4:2:0, ...): the scan is
-    walked MCU by MCU with h_i x v_i blocks per component, and subsampled
-    chroma planes are replicated back to full resolution after the IDCT."""
-    if data[:2] != b"\xff\xd8":
-        raise ValueError("not a jpeg (missing SOI)")
-    pos = 2
-    qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    h = w = 0
-    comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
-    scan_comps: list[tuple[int, int, int]] = []  # (id, dc table, ac table)
-    restart = 0
-    scan_start = -1
-    while pos < len(data):
-        if data[pos] != 0xFF:
-            raise ValueError(f"marker expected at {pos}")
-        while data[pos + 1] == 0xFF:  # spec-legal fill bytes before marker
-            pos += 1
-        marker = data[pos + 1]
-        pos += 2
-        if marker == 0xD9:  # EOI
+def _dec_block_seq(
+    br: _BitReader, blk: np.ndarray, dtree: dict, atree: dict,
+    prev_dc: list, ci: int,
+) -> None:
+    """One full sequential 8x8 block: DC diff + run-length AC."""
+    blk[:] = 0  # clear stale values on an MCU retry
+    s = _read_symbol(br, dtree)
+    diff = _extend(br.read_bits(s), s) if s else 0
+    prev_dc[ci] += diff
+    blk[0] = prev_dc[ci]
+    k = 1
+    while k < 64:
+        rs = _read_symbol(br, atree)
+        if rs == 0x00:  # EOB
             break
-        ln = struct.unpack(">H", data[pos : pos + 2])[0]
-        seg = data[pos + 2 : pos + ln]
-        if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                prec, tid = seg[p] >> 4, seg[p] & 0xF
-                if prec != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                t = np.zeros(64)
-                t[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
-                qt[tid] = t.reshape(8, 8)
-                p += 65
-        elif marker == 0xC0:  # SOF0 baseline
-            h, w = struct.unpack(">HH", seg[1:5])
-            n = seg[5]
-            comps = [
-                (seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]) for i in range(n)
-            ]
-            if n != 3:
-                raise NotImplementedError(
-                    f"{n}-component jpeg (only 3-component RGB/YCbCr supported)"
-                )
-            if any(
-                not (1 <= (s >> 4) <= 4 and 1 <= (s & 0xF) <= 4)
-                for _, s, _t in comps
-            ):
-                raise ValueError("sampling factors must be in 1..4")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential (SOF0) supported")
-        elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                cls, tid = seg[p] >> 4, seg[p] & 0xF
-                bits = list(seg[p + 1 : p + 17])
-                nv = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + nv])
-                huff[(cls, tid)] = _decode_tree(bits, vals)
-                p += 17 + nv
-        elif marker == 0xDD:  # DRI
-            restart = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS
-            n = seg[0]
-            scan_comps = [
-                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
-                for i in range(n)
-            ]
-            scan_start = pos + ln
-            break
-        pos += ln
-    if scan_start < 0 or not comps:
-        raise ValueError("no scan in jpeg")
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run != 15:
+                raise ValueError("bad AC symbol")
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        blk[k] = _extend(br.read_bits(size), size)
+        k += 1
 
-    ncomp = len(comps)
-    samp = [(s >> 4, s & 0xF) for _, s, _t in comps]
+
+def _dec_dc_prog(
+    br: _BitReader, blk: np.ndarray, dtree: dict | None,
+    prev_dc: list, ci: int, ah: int, al: int,
+) -> None:
+    """Progressive DC: first scan codes diffs of the arithmetic-shifted
+    values; refinement scans are one raw bit (bit ``al``) per block."""
+    if ah == 0:
+        s = _read_symbol(br, dtree)
+        diff = _extend(br.read_bits(s), s) if s else 0
+        prev_dc[ci] += diff
+        blk[0] = prev_dc[ci] << al
+    elif br.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _dec_ac_first(
+    br: _BitReader, blk: np.ndarray, atree: dict,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """Progressive AC first scan for one block (T.81 G.1.2.2): run-length
+    symbols place ``value << al``; EOBn symbols (r<<4, r<15) start a run of
+    (1<<r)-1+extra further all-zero blocks. Returns the remaining eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(br, atree)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past Se")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _dec_ac_refine(
+    br: _BitReader, blk: np.ndarray, atree: dict,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3): newly-
+    significant coefficients arrive as run/1 symbols (run counts ZERO-
+    HISTORY positions only), and every already-nonzero coefficient crossed
+    by a run — or covered by an EOB run — contributes one correction bit
+    that may grow its magnitude by 1<<al. Returns the remaining eobrun."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(br, atree)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history positions (r stays 15; the walk
+                # below consumes 15 decrements + the break position)
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan size must be 1")
+                val = p1 if br.read_bit() else -p1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.read_bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits continue through the EOB run
+            v = int(blk[k])
+            if v != 0:
+                if br.read_bit() and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    data: bytes, start: int, scomps: list, samp: list, coefs: list,
+    nbx: list, huff: dict, restart: int, h: int, w: int,
+    progressive: bool, ss: int, se: int, ah: int, al: int,
+    mcus_x: int, mcus_y: int,
+) -> int:
+    """Decode one entropy-coded scan starting at byte ``start``; returns
+    the offset of the next marker. ``scomps`` holds (comp index, dc table,
+    ac table) per scan component. Single-component scans walk the
+    component's own ceil(dim/8) block grid non-interleaved (A.2.2); multi-
+    component scans walk the MCU lattice."""
+    br = _BitReader(data)
+    br.pos = start
+    ncomp = len(scomps)
     hmax = max(hi for hi, _ in samp)
     vmax = max(vi for _, vi in samp)
-    if any(hmax % hi or vmax % vi for hi, vi in samp):
-        raise NotImplementedError("non-integer sampling ratio")
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    n_mcu = mcus_x * mcus_y
-    # per-component block grids cover the FULL MCU lattice (padding blocks
-    # included — they decode like any other and are cropped after the IDCT)
-    nbx = [mcus_x * hi for hi, _ in samp]
-    nby = [mcus_y * vi for _, vi in samp]
-    coefs = [np.zeros((nby[c] * nbx[c], 64), dtype=np.float64) for c in range(ncomp)]
-    br = _BitReader(data[scan_start:])
-    prev_dc = [0] * ncomp
-    bi = 0
-    while bi < n_mcu:
+    prev_dc = [0] * len(samp)
+    eobrun = 0
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and ncomp != 1:
+            raise ValueError("progressive AC scans are single-component")
+    if ncomp == 1:
+        ci0, dct0, act0 = scomps[0]
+        hi, vi = samp[ci0]
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        nbx_s, nby_s = (cw + 7) // 8, (ch + 7) // 8
+        units = nby_s * nbx_s
+    else:
+        units = mcus_x * mcus_y
+
+    u = 0
+    while u < units:
         try:
-            my, mx = divmod(bi, mcus_x)
-            for ci in range(ncomp):
-                _, dct, act = scan_comps[ci]
-                dtree, atree = huff[(0, dct)], huff[(1, act)]
-                hi, vi = samp[ci]
-                for by in range(vi):
-                    for bx in range(hi):
-                        blk = coefs[ci][(my * vi + by) * nbx[ci] + (mx * hi + bx)]
-                        blk[:] = 0.0  # clear stale values on an MCU retry
-                        s = _read_symbol(br, dtree)
-                        diff = _extend(br.read_bits(s), s) if s else 0
-                        prev_dc[ci] += diff
-                        blk[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(br, atree)
-                            if rs == 0x00:  # EOB
-                                break
-                            run, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            blk[k] = _extend(br.read_bits(size), size)
-                            k += 1
-            bi += 1
-            if restart and bi % restart == 0 and bi < n_mcu:
+            if ncomp == 1:
+                by, bx = divmod(u, nbx_s)
+                blk = coefs[ci0][by * nbx[ci0] + bx]
+                if not progressive:
+                    _dec_block_seq(
+                        br, blk, huff[(0, dct0)], huff[(1, act0)], prev_dc, ci0
+                    )
+                elif ss == 0:
+                    _dec_dc_prog(
+                        br, blk, huff.get((0, dct0)), prev_dc, ci0, ah, al
+                    )
+                elif ah == 0:
+                    eobrun = _dec_ac_first(
+                        br, blk, huff[(1, act0)], ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _dec_ac_refine(
+                        br, blk, huff[(1, act0)], ss, se, al, eobrun
+                    )
+            else:
+                my, mx = divmod(u, mcus_x)
+                for ci, dct, act in scomps:
+                    hi, vi = samp[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            blk = coefs[ci][(my * vi + by) * nbx[ci] + mx * hi + bx]
+                            if progressive:  # interleaved => DC-only scan
+                                _dec_dc_prog(
+                                    br, blk, huff.get((0, dct)), prev_dc, ci, ah, al
+                                )
+                            else:
+                                _dec_block_seq(
+                                    br, blk, huff[(0, dct)], huff[(1, act)],
+                                    prev_dc, ci,
+                                )
+            u += 1
+            if restart and u % restart == 0 and u < units:
                 # Restart boundary: the encoder pads the entropy segment
                 # with 1-bits to a byte edge, then emits RSTn. Discard the
                 # pad bits (byte-align) and consume the marker directly —
@@ -573,10 +912,143 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     and 0xD0 <= br.data[br.pos + 1] <= 0xD7
                 ):
                     br.pos += 2
-                    prev_dc = [0] * ncomp
+                    prev_dc = [0] * len(samp)
+                    eobrun = 0
         except _RestartMarker:
             br.sync_restart()
-            prev_dc = [0] * ncomp
+            prev_dc = [0] * len(samp)
+            eobrun = 0
+    # scan ends mid-byte; the next marker (after optional 0xFF fills)
+    # starts at the first 0xFF followed by a real marker code
+    p = br.pos
+    while p + 1 < len(data):
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and not 0xD0 <= data[p + 1] <= 0xD7
+        ):
+            break
+        p += 1
+    return p
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from JFIF bytes — baseline/extended sequential
+    (SOF0/SOF1) or progressive (SOF2), any sampling layout whose factors
+    divide the maxima (4:4:4, 4:2:2, 4:2:0, ...). Sequential scans are
+    walked MCU by MCU; progressive scans accumulate coefficients across the
+    whole scan script (spectral selection + successive approximation, T.81
+    Annex G) until EOI, so the final IDCT sees exactly the coefficients the
+    encoder quantized. Subsampled chroma planes are replicated back to full
+    resolution after the IDCT."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a jpeg (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    restart = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None
+    samp: list[tuple[int, int]] = []
+    nbx: list[int] = []
+    nby: list[int] = []
+    mcus_x = mcus_y = 0
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        while data[pos + 1] == 0xFF:  # spec-legal fill bytes before marker
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone TEM/RSTn
+            continue
+        ln = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                t = np.zeros(64)
+                t[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                qt[tid] = t.reshape(8, 8)
+                p += 65
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
+            h, w = struct.unpack(">HH", seg[1:5])
+            n = seg[5]
+            comps = [
+                (seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]) for i in range(n)
+            ]
+            if n != 3:
+                raise NotImplementedError(
+                    f"{n}-component jpeg (only 3-component RGB/YCbCr supported)"
+                )
+            if any(
+                not (1 <= (s >> 4) <= 4 and 1 <= (s & 0xF) <= 4)
+                for _, s, _t in comps
+            ):
+                raise ValueError("sampling factors must be in 1..4")
+            samp = [(s >> 4, s & 0xF) for _, s, _t in comps]
+            hmax = max(hi for hi, _ in samp)
+            vmax = max(vi for _, vi in samp)
+            if any(hmax % hi or vmax % vi for hi, vi in samp):
+                raise NotImplementedError("non-integer sampling ratio")
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            # per-component block grids cover the FULL MCU lattice (padding
+            # blocks included — sequential scans decode them like any other
+            # and they are cropped after the IDCT; progressive AC scans skip
+            # them, leaving zeros in pixels that are cropped anyway)
+            nbx = [mcus_x * hi for hi, _ in samp]
+            nby = [mcus_y * vi for _, vi in samp]
+            coefs = [
+                np.zeros((nby[c] * nbx[c], 64), dtype=np.int64) for c in range(n)
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline/extended sequential (SOF0/SOF1) and "
+                "progressive (SOF2) Huffman jpegs supported"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[(cls, tid)] = _decode_tree(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if coefs is None:
+                raise ValueError("SOS before SOF")
+            n = seg[0]
+            ids = [cid for cid, _s, _t in comps]
+            scomps = []
+            for i in range(n):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomps.append((ids.index(cid), tabs >> 4, tabs & 0xF))
+            ss, se = seg[1 + 2 * n], seg[2 + 2 * n]
+            ahal = seg[3 + 2 * n]
+            pos = _decode_scan(
+                data, pos + ln, scomps, samp, coefs, nbx, huff, restart,
+                h, w, progressive, ss, se, ahal >> 4, ahal & 0xF,
+                mcus_x, mcus_y,
+            )
+            continue
+        pos += ln
+    if coefs is None or not comps:
+        raise ValueError("no scan in jpeg")
+    ncomp = len(comps)
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
 
     # vectorized dequantize + IDCT per component, then chroma upsample
     planes = []

@@ -1260,6 +1260,40 @@ def _q_image_decode_420():
     return q, sql
 
 
+def _q_image_decode_prog():
+    """Progressive (SOF2) JPEG decode end-to-end (round 5 — the OTHER
+    common crawled-web layout, completing the JPEG surface next to
+    image_decode_420): re-encode the flat-tile corpus to fmt "jpgprog"
+    (functions/jpeg.py progressive=True, 4:2:0, quality 98 — the
+    conventional 10-scan spectral-selection + successive-approximation
+    script) through the standard reencode operator, which refreshes phash
+    from a fresh decode of the multi-scan bytes. Oracle = VALUES of the
+    integer-exact phash of the ORIGINAL pixels
+    (plans/media_oracle.py:image_prog_rows): progressive losslessly
+    re-codes the same quantized coefficients as baseline 4:2:0, so the
+    corpus's pixel-exactness proof carries over and phash equality is a
+    full-chain decode proof covering EOB-run, refinement-bit, and
+    non-interleaved-scan machinery."""
+    from ..operators import images as imops
+    from ..sources import fixtures
+    from . import media_oracle
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        src = fixtures.tile_images(spark, 80, seed=42)
+        r = imops.reencode(src, fmt="jpgprog")
+        return r.select("image_id", "fmt", "w", "h", "phash").orderBy("image_id")
+
+    vals = ", ".join(
+        f"('{i}', '{f}', {w}, {h}, {p})"
+        for i, f, w, h, p in media_oracle.image_prog_rows()
+    )
+    sql = (
+        f"SELECT image_id, fmt, w, h, phash "
+        f"FROM (VALUES {vals}) t(image_id, fmt, w, h, phash) ORDER BY image_id"
+    )
+    return q, sql
+
+
 def _q_image_resize():
     """Thumbnail resize (operators/images.py:image_resize) driver gate:
     24x24 nearest-neighbor over the image corpus, verified on the refreshed
@@ -1859,6 +1893,7 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["image_phash_dedup"] = _q_image_phash_dedup()
     reg["image_resize"] = _q_image_resize()
     reg["image_decode_420"] = _q_image_decode_420()
+    reg["image_decode_prog"] = _q_image_decode_prog()
     reg["video_frame_stats"] = _q_video_frame_stats()
     reg["audio_stats"] = _q_audio_stats()
     reg["audio_transcode"] = _q_audio_transcode()

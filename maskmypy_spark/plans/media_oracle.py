@@ -185,6 +185,24 @@ def image_420_rows() -> tuple[tuple[str, str, int, int, int], ...]:
     return tuple(rows)
 
 
+@lru_cache(maxsize=1)
+def image_prog_rows() -> tuple[tuple[str, str, int, int, int], ...]:
+    """(image_id, fmt, w, h, phash) after the engine re-encodes the
+    flat-tile corpus to PROGRESSIVE (SOF2) 4:2:0 JPEG — fmt "jpgprog" —
+    and refreshes phash from a fresh decode. Progressive is a lossless
+    re-coding of the same quantized coefficients as "jpg420"
+    (functions/jpeg.py: both writers share _quantize_planes), so the
+    pixel-exactness proof of :func:`image_420_rows` carries over verbatim
+    and the same phash-of-ORIGINAL oracle pins the whole 10-scan
+    spectral-selection + successive-approximation decode chain."""
+    rows = []
+    for i in range(_N_TILE):
+        img = fixture_tile_image(i)
+        h, w = img.shape[:2]
+        rows.append((f"til{i:08d}", "jpgprog", w, h, avg_hash_exact(img)))
+    return tuple(rows)
+
+
 _RS_W = _RS_H = 24  # resize contract target (8 | 24, so phash stays exact)
 
 

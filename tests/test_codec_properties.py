@@ -52,6 +52,86 @@ def test_jpeg_restart_interval_equals_plain(h, w, seed, ri):
     w=st.integers(1, 40),
     seed=st.integers(0, 2**31 - 1),
     quality=st.sampled_from([50, 75, 90, 98, 100]),
+    ss=st.sampled_from(["444", "422", "420"]),
+)
+def test_jpeg_progressive_equals_baseline(h, w, seed, quality, ss):
+    """Progressive (SOF2) is a lossless re-coding of the same quantized
+    coefficients, so its decode must be BIT-IDENTICAL to the baseline
+    twin's — an exact property with no lossy tolerance, for every shape,
+    quality, and subsampling (partial MCUs exercise the non-interleaved
+    AC-scan geometry, which differs from the lattice)."""
+    img = _rand_img(h, w, seed)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality, subsampling=ss))
+    prog_bytes = jpeg.encode_jpeg(img, quality, subsampling=ss, progressive=True)
+    assert b"\xff\xc2" in prog_bytes[:256]
+    assert np.array_equal(base, jpeg.decode_jpeg(prog_bytes))
+
+
+def test_jpeg_progressive_eobn_runs_decode():
+    """Our writer caps EOB runs at one block (EOB0), but external encoders
+    emit EOBn runs spanning up to 2^14 blocks (T.81 G.1.2.2) — exercise the
+    decoder's run paths directly with hand-built single-component scans:
+    a first scan whose EOBn(r=2)+extra covers six trailing blocks, then a
+    refinement scan that places a new coefficient, applies a buffered
+    correction bit, and rides an EOBn over the all-zero tail."""
+    # the Annex-K typical tables have NO EOBn symbols (that's why the writer
+    # caps runs) — build the tiny custom table an external encoder would
+    # have emitted via DHT: 5 flat 3-bit codes for exactly the symbols used
+    bits = [0, 0, 5] + [0] * 13
+    vals = [0x00, 0x01, 0x10, 0x11, 0x20]
+    atree = jpeg._decode_tree(bits, vals)
+    codes = jpeg._assign_codes(bits, vals)
+
+    # --- first scan at Al=1, band Ss=1..Se=3: blk0 codes true values
+    # [_, 3, 0, -1] point-transformed to [_, 1, 0, 0] (3>>1=1, 1>>1=0);
+    # blocks 1..7 are one EOBn: r=2, extra=0b11 -> eobrun = (1<<2)-1+3 = 6
+    # more blocks after the one that read the symbol
+    bw = jpeg._BitWriter()
+    s, extra = jpeg._mag_bits(1)
+    c, ln = codes[(0 << 4) | s]  # run 0, the transformed 3 -> 1
+    bw.write(c, ln)
+    bw.write(extra, s)
+    c, ln = codes[0x00]  # rest of blk0's band is zero at this Al
+    bw.write(c, ln)
+    c, ln = codes[(2 << 4) | 0]  # EOBn: r=2 + 2 extra bits
+    bw.write(c, ln)
+    bw.write(0b11, 2)
+    blocks = np.zeros((8, 64), dtype=np.int64)
+    br = jpeg._BitReader(bw.flush() + b"\xff\xd9")
+    eobrun = 0
+    for b in range(8):
+        eobrun = jpeg._dec_ac_first(br, blocks[b], atree, 1, 3, 1, eobrun)
+    assert list(blocks[0][:4]) == [0, 2, 0, 0]  # 1 << Al
+    assert not blocks[1:].any()
+    assert eobrun == 0  # 1 break block + 6 run = blocks 1..7 all consumed
+
+    # --- refinement scan at Al=0 (p1=1) toward true [_, 3, 0, -1]:
+    # position 3 becomes newly significant (run/1 symbol, run=1 zero-history
+    # position, sign bit 0 = negative), position 1 is history and its
+    # correction bit (3 & 1 = 1) rides buffered after that symbol, growing
+    # 2 -> 3; blocks 1..3 are an EOBn r=1 + extra 1 -> eobrun = 2+1 = 3
+    bw = jpeg._BitWriter()
+    c, ln = codes[(1 << 4) | 1]
+    bw.write(c, ln)
+    bw.write(0, 1)  # sign: negative
+    bw.write(1, 1)  # buffered correction bit for the history 2 at pos 1
+    c, ln = codes[(1 << 4) | 0]  # EOBn r=1 + 1 extra bit
+    bw.write(c, ln)
+    bw.write(1, 1)
+    br = jpeg._BitReader(bw.flush() + b"\xff\xd9")
+    eobrun = 0
+    for b in range(4):
+        eobrun = jpeg._dec_ac_refine(br, blocks[b], atree, 1, 3, 0, eobrun)
+    assert list(blocks[0][:4]) == [0, 3, 0, -1]
+    assert eobrun == 0  # blocks 1..3 consumed by the run (all-zero: no bits)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.sampled_from([50, 75, 90, 98, 100]),
     ss=st.sampled_from(["420", "422"]),
 )
 def test_jpeg_subsampled_roundtrip_any_shape(h, w, seed, quality, ss):

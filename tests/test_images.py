@@ -117,12 +117,31 @@ def test_jpeg_codec_baseline():
     assert via_420.shape == smooth.shape
     assert imagecodec.psnr(smooth, via_420) >= 40.0  # smooth chroma: full-RGB holds
 
-    # declared scope: progressive (SOF2) must raise, not mis-decode
+    # progressive (SOF2) in scope (round 5): full 10-scan roundtrip decodes
+    # bit-identically to the baseline twin (same quantized coefficients)
+    prog = jpeg.encode_jpeg(smooth, 98, progressive=True)
+    assert b"\xff\xc2" in prog[:256]  # really SOF2
+    assert np.array_equal(jpeg.decode_jpeg(prog),
+                          jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, 98)))
+    # ...and the registry format chains through the 4:2:0 progressive path
+    via_prog = imagecodec.decode(imagecodec.encode(smooth, "jpgprog"), "jpgprog")
+    assert np.array_equal(
+        via_prog, imagecodec.decode(imagecodec.encode(smooth, "jpg420"), "jpg420")
+    )
+
+    # a malformed file (SOF2 header but a baseline Ss=0..Se=63 scan) must
+    # raise, not mis-decode
     patched = bytearray(data)
     sof = patched.find(b"\xff\xc0")
     patched[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="progressive"):
         jpeg.decode_jpeg(bytes(patched))
+
+    # declared walls: lossless (SOF3) and arithmetic (SOF9) still raise
+    for bad in (0xC3, 0xC9):
+        patched[sof + 1] = bad
+        with pytest.raises(NotImplementedError, match="SOF"):
+            jpeg.decode_jpeg(bytes(patched))
 
     # restart markers (DRI + RSTn with DC reset + pre-marker byte padding):
     # decode must byte-align at each boundary, not choke on pad bits

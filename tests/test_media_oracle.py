@@ -63,6 +63,7 @@ def test_row_counts():
     assert len(media_oracle.audio_stats_rows()) == 100
     assert len(media_oracle.video_frame_stats_rows()) == 192
     assert len(media_oracle.image_420_rows()) == 80
+    assert len(media_oracle.image_prog_rows()) == 80
 
 
 def test_tile_image_reconstruction_codec_free():
@@ -86,6 +87,17 @@ def test_tile_corpus_jpg420_roundtrip_pixel_exact():
         img = media_oracle.fixture_tile_image(i)
         back = imagecodec.decode(imagecodec.encode(img, "jpg420"), "jpg420")
         assert np.array_equal(img, back), i
+
+
+def test_tile_corpus_jpgprog_roundtrip_pixel_exact():
+    """Same property for the image_decode_prog oracle: the progressive
+    (SOF2) writer re-codes the identical quantized coefficients, so the
+    corpus must round-trip pixel-exactly through the 10-scan path too —
+    and bit-identically to the baseline-4:2:0 decode."""
+    for i in range(media_oracle._N_TILE):
+        img = media_oracle.fixture_tile_image(i)
+        prog = imagecodec.decode(imagecodec.encode(img, "jpgprog"), "jpgprog")
+        assert np.array_equal(img, prog), i
 
 
 def test_phash_dedup_recovers_planted_pairs():
