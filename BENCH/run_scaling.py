@@ -15,11 +15,19 @@ point, added threads bring no added bandwidth, which a real 4N-executor
 cluster WOULD bring — see BENCH/NOTES.md for the measured join-strategy
 matrix behind that claim.
 
-Each parallelism level runs in its OWN subprocess (a JVM can host only one
-local[N] master), 1 warmup + 3 timed runs, median. The determinism
-cross-check asserts the replay contract across cluster sizes: output
-checksums at ALL levels must be identical (reference atlas.py:229-233;
-our partitioning-independent RNG makes this hold).
+Each parallelism level runs in its OWN subprocesses (a JVM can host only
+one local[N] master) — JVMS_PER_LEVEL of them (default 2), each 1 warmup +
+SCALING_RUNS timed runs, and the published number is the MIN across all
+timed runs of the level. Min, not median, because whole-JVM slowdowns of
+~2-2.5x ride individual JVMs on this virtualized box (CPU steal measured
+at ~2% even in quiet windows): every run inside an afflicted JVM is
+uniformly slow, so within-JVM medians cannot filter the artifact, while
+noise only ever ADDS time — the min across independent JVMs is the
+reproducible capability number. All runs are published in scaling.json's
+runs_detail. The determinism cross-check asserts the replay contract
+across cluster sizes: output checksums at ALL levels (and all JVMs of a
+level) must be identical (reference atlas.py:229-233; our partitioning-
+independent RNG makes this hold).
 
 Usage:  python BENCH/run_scaling.py [n_rows] [level ...]
         (defaults: 1,000,000 rows, levels 2 8 32)
@@ -83,8 +91,8 @@ def run_timed(fn, runs=RUNS, warmup=1):
     for _ in range(warmup): fn()
     ts = []
     for _ in range(runs):
-        t0 = time.perf_counter(); fn(); ts.append(time.perf_counter() - t0)
-    ts.sort(); return ts[len(ts) // 2]
+        t0 = time.perf_counter(); fn(); ts.append(round(time.perf_counter() - t0, 3))
+    return ts  # all timed runs; the parent takes min across this level's JVMs
 
 def force(df):
     # hash all columns: defeats aggregate pushdown / outer-join elimination;
@@ -108,12 +116,12 @@ jobs["locationswap"] = lambda: force(locationswap(pts, 100.0, 500.0, addr, seed=
 
 out = {"cores": cores, "rows": n, "timings": {}}
 for name, fn in jobs.items():
-    out["timings"][name] = run_timed(fn)
+    out["timings"][name] = run_timed(fn)  # list of per-run seconds
 
 # mask throughput at fixed-overhead-free scale (pure codegen projection)
 big = pts_df(n_big)
 out["mask_big_rows"] = n_big
-out["mask_big_sec"] = run_timed(lambda: force(donut(big, 100.0, 500.0, seed=42)))
+out["mask_big_sec"] = run_timed(lambda: force(donut(big, 100.0, 500.0, seed=42)))  # list
 
 # determinism checksum of the masked output (cross-parallelism contract)
 m = donut(pts, 100.0, 500.0, seed=42)
@@ -122,7 +130,7 @@ print("RESULT " + json.dumps(out))
 """
 
 
-def run_level(cores: int, n: int) -> dict:
+def _run_one_jvm(cores: int, n: int) -> dict:
     code = WORKER % {"repo": REPO}
     env = dict(os.environ)
     proc = subprocess.run(
@@ -133,6 +141,35 @@ def run_level(cores: int, n: int) -> dict:
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
     raise RuntimeError(f"worker failed (cores={cores}):\n{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}")
+
+
+def run_level(cores: int, n: int) -> dict:
+    """JVMS_PER_LEVEL independent subprocesses; min across all timed runs
+    per job (whole-JVM slowdown filter — see module docstring); checksums
+    must agree across the level's JVMs."""
+    jvms = int(os.environ.get("JVMS_PER_LEVEL", "2"))
+    detail: dict[str, list[float]] = {}
+    big_detail: list[float] = []
+    cks = set()
+    base = None
+    for _ in range(jvms):
+        r = _run_one_jvm(cores, n)
+        base = r
+        for k, ts in r["timings"].items():
+            detail.setdefault(k, []).extend(ts)
+        big_detail.extend(r["mask_big_sec"])
+        cks.add(r["mask_checksum"])
+    assert len(cks) == 1, f"checksum drift across JVMs at local[{cores}]: {cks}"
+    return {
+        "cores": cores,
+        "rows": n,
+        "timings": {k: min(ts) for k, ts in detail.items()},
+        "runs_detail": detail,
+        "mask_big_rows": base["mask_big_rows"],
+        "mask_big_sec": min(big_detail),
+        "mask_big_runs_detail": big_detail,
+        "mask_checksum": base["mask_checksum"],
+    }
 
 
 OVERHEAD_BOUND_SEC = 2.0  # below this, wall-time is scheduler/scan overhead
@@ -176,9 +213,11 @@ def main() -> None:
         "",
         f"Input: {n:,} synthetic points (hash-derived, seed 1234), addresses = n/20,",
         "box area scaled with n (constant density => constant per-point work;",
-        "density calibrated to realistic k ~ 40). Protocol: per level, 1 warmup +",
-        f"{os.environ.get('SCALING_RUNS', '3')} timed runs, median wall-time; levels run in separate subprocesses (one",
-        "JVM = one local[N] master). The north rule's N -> 4N executor criterion",
+        f"density calibrated to realistic k ~ 40). Protocol: per level, "
+        f"{os.environ.get('JVMS_PER_LEVEL', '2')} independent JVMs x (1 warmup +",
+        f"{os.environ.get('SCALING_RUNS', '3')} timed runs); published wall-time = MIN across the level's runs (whole-JVM",
+        "~2x slowdowns ride this virtualized box — CPU steal — and noise only adds",
+        "time; all runs in scaling.json runs_detail). The north rule's N -> 4N executor criterion",
         f"is evidenced at N={levels[0]} -> 4N={levels[1] if len(levels) > 1 else '?'} cores"
         " on identical input; every consecutive-level efficiency is published so",
         "the single-socket saturation claim (BENCH/NOTES.md) stays falsifiable.",
