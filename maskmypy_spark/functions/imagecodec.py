@@ -1,8 +1,10 @@
 """Pure-numpy image codecs (PPM / BMP / PNG via stdlib zlib / baseline JPEG).
 
 No PIL/opencv in this environment (SURVEY §7), so the engine ships minimal
-deterministic codecs. PPM/BMP are exact (lossless, byte-stable); PNG uses
-zlib level 6, filter 0 (lossless); "jpg" is the real DCT/Huffman baseline
+deterministic codecs. PPM/BMP are exact (lossless, byte-stable); PNG
+writes zlib level 6, filter 0 (lossless, byte-stable) and DECODES the full
+baseline spec (functions/png.py: all filters, color types, depths 1-16,
+PLTE/tRNS, Adam7); "jpg" is the real DCT/Huffman baseline
 JFIF codec (functions/jpeg.py) at quality 98 — the compressed-format path.
 The dependency-free lossy transform for the PSNR>=40dB invariant is
 bit-depth quantization (``quantize``); the jpg default quality holds the
@@ -13,7 +15,6 @@ arrays of shape (h, w, 3).
 from __future__ import annotations
 
 import struct
-import zlib
 
 import numpy as np
 
@@ -71,62 +72,24 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 # ------------------------------------------------------------- PNG (zlib)
 
-def _chunk(tag: bytes, payload: bytes) -> bytes:
-    return (
-        struct.pack(">I", len(payload))
-        + tag
-        + payload
-        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
-    )
-
-
 def encode_png(img: np.ndarray) -> bytes:
-    h, w, _ = img.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
-    raw = b"".join(b"\x00" + img[r].astype(np.uint8).tobytes() for r in range(h))
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw, 6))
-        + _chunk(b"IEND", b"")
-    )
+    """8-bit RGB, filter 0, non-interlaced — the engine's byte-stable
+    default layout. Full-spec layouts (palette, alpha, 16-bit, adaptive
+    filters, Adam7) via functions/png.py:encode_ex."""
+    from . import png as _png
+
+    return _png.encode_ex(img, color_type=2, depth=8, filters=0)
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a png")
-    pos = 8
-    w = h = None
-    idat = bytearray()
-    while pos < len(data):
-        (ln,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + ln]
-        if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
-            if depth != 8 or ctype != 2:
-                raise ValueError("only 8-bit RGB png supported")
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln
-    raw = zlib.decompress(bytes(idat))
-    stride = w * 3 + 1
-    out = np.empty((h, w, 3), dtype=np.uint8)
-    prev = np.zeros(w * 3, dtype=np.uint8)
-    for r in range(h):
-        line = raw[r * stride : (r + 1) * stride]
-        filt, body = line[0], np.frombuffer(line[1:], dtype=np.uint8)
-        if filt == 0:
-            cur = body.copy()
-        elif filt == 2:  # Up
-            cur = (body.astype(np.int16) + prev).astype(np.uint8)
-        else:
-            raise ValueError(f"unsupported png filter {filt}")
-        out[r] = cur.reshape(w, 3)
-        prev = cur
-    return out
+    """Full baseline-spec decode (functions/png.py — all five filters,
+    color types 0/2/3/4/6, depths 1-16, PLTE/tRNS, Adam7; round-5 wall
+    removal: real crawled PNGs are adaptively filtered and frequently
+    paletted/alpha'd, which the previous RGB/filter-0/2-only reader
+    rejected). Canonical uint8 RGB out; alpha composites over white."""
+    from . import png as _png
+
+    return _png.decode(data)
 
 
 def encode_jpg(img: np.ndarray) -> bytes:

@@ -1294,6 +1294,45 @@ def _q_image_decode_prog():
     return q, sql
 
 
+def _q_image_decode_png():
+    """Full-spec PNG decode end-to-end (round 5, the raster analogue of
+    image_decode_420/prog): the web-PNG corpus plants every baseline-spec
+    layout a crawled PNG actually uses — adaptive Sub/Up/Average/Paeth
+    filters, palette + tRNS alpha, RGBA/gray-alpha over white, 16-bit,
+    4-bit, Adam7 interlace (sources/fixtures.py:web_pngs, 9 layouts) —
+    and the standard reencode operator decodes the bytes distributed
+    (functions/png.py) and refreshes phash from the decoded pixels.
+    Oracle = VALUES of the integer-exact phash of the codec-free canonical
+    RGB (plans/media_oracle.py:png_rows): every layout is planted lossless
+    w.r.t. its canonicalization, so phash equality proves the whole
+    filter/interlace/palette/alpha/depth decode chain pixel-faithful.
+    Reference scope anchor: the reference delegates raster IO to its
+    geopandas/PIL stack; the engine ships its own codec (SURVEY §7)."""
+    from ..operators import images as imops
+    from ..sources import fixtures
+    from . import media_oracle
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        src = fixtures.web_pngs(spark, 90, seed=42)
+        r = imops.reencode(src, fmt="bmp")
+        return (
+            r.select(
+                "image_id", F.col("caption").alias("layout"), "w", "h", "phash"
+            ).orderBy("image_id")
+        )
+
+    vals = ", ".join(
+        f"('{i}', '{l}', {w}, {h}, {p})"
+        for i, l, w, h, p in media_oracle.png_rows()
+    )
+    sql = (
+        f"SELECT image_id, layout, w, h, phash "
+        f"FROM (VALUES {vals}) t(image_id, layout, w, h, phash) "
+        f"ORDER BY image_id"
+    )
+    return q, sql
+
+
 def _q_image_resize():
     """Thumbnail resize (operators/images.py:image_resize) driver gate:
     24x24 nearest-neighbor over the image corpus, verified on the refreshed
@@ -1894,6 +1933,7 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["image_resize"] = _q_image_resize()
     reg["image_decode_420"] = _q_image_decode_420()
     reg["image_decode_prog"] = _q_image_decode_prog()
+    reg["image_decode_png"] = _q_image_decode_png()
     reg["video_frame_stats"] = _q_video_frame_stats()
     reg["audio_stats"] = _q_audio_stats()
     reg["audio_transcode"] = _q_audio_transcode()

@@ -203,6 +203,95 @@ def image_prog_rows() -> tuple[tuple[str, str, int, int, int], ...]:
     return tuple(rows)
 
 
+_T_PW, _T_PH, _T_PPIX = 240, 241, 242
+_N_PNG = 90
+
+_PNG_LAYOUTS = (
+    "rgb8", "rgba8", "pal8", "gray8", "rgb16", "gray4", "rgb8i", "graya8",
+    "pal4i",
+)
+
+
+def _png_canonical(i: int, seed: int = SEED) -> tuple[str, np.ndarray]:
+    """(layout, canonical uint8 RGB) of web-PNG fixture ``i`` — the corpus
+    definition of sources/fixtures.py:_png_planes/make_web_png re-derived
+    codec-free. The engine path goes sample-array -> encode_ex (adaptive
+    filters / palette / Adam7 / zlib) -> functions/png.py full decode ->
+    canonical RGB; this path never touches a byte of PNG stream and builds
+    the canonical image directly from the layout semantics:
+
+    - palette lookup + tRNS alpha as int64 fancy indexing
+    - alpha-over-white with the documented integer formula
+      (c*a + 255*(255-a) + 127) // 255
+    - 4-bit gray expansion as v*17 (== v*255//15 exactly — bit replication)
+    - 16-bit reduction: samples are planted as v*257, whose high byte is v
+
+    Equality of the engine's phash (hash of a fresh decode of the bytes)
+    with avg_hash_exact of THIS image therefore proves the whole
+    filter/interlace/palette/alpha/depth decode chain pixel-faithful."""
+    one = np.array([i], dtype=np.int64)
+    w = _SIZES[int(u_np(one, _T_PW, seed)[0] * len(_SIZES)) % len(_SIZES)]
+    h = _SIZES[int(u_np(one, _T_PH, seed)[0] * len(_SIZES)) % len(_SIZES)]
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 5 + yy * 11 + i * 7) % 256
+    keys = (np.arange(h * w, dtype=np.int64) * 997 + i) % (1 << 31)
+    noise = (u_np(keys, _T_PPIX, seed) * 96).astype(np.int64).reshape(h, w)
+    r = (base + noise) % 256
+    g = (base * 3 + noise) % 256
+    b = (base * 5 + noise // 3) % 256
+    a = (base * 7 + noise * 2) % 256
+    layout = _PNG_LAYOUTS[i % len(_PNG_LAYOUTS)]
+
+    def over_white(rgb: np.ndarray, alpha: np.ndarray) -> np.ndarray:
+        al = alpha[..., None]
+        return (rgb * al + 255 * (255 - al) + 127) // 255
+
+    if layout in ("rgb8", "rgb8i", "rgb16"):
+        canon = np.stack([r, g, b], axis=2)
+    elif layout == "rgba8":
+        canon = over_white(np.stack([r, g, b], axis=2), a)
+    elif layout == "pal8":
+        j = np.arange(256, dtype=np.int64)
+        pal = np.stack(
+            [(j * 37) % 256, (j * 73 + 11) % 256, (j * 151 + 29) % 256], axis=1
+        )
+        pal_a = np.full(256, 255, dtype=np.int64)
+        pal_a[:64] = (j[:64] * 16) % 256
+        idx = (r + a) % 256
+        canon = over_white(pal[idx], pal_a[idx])
+    elif layout == "gray8":
+        canon = np.repeat(g[:, :, None], 3, axis=2)
+    elif layout == "gray4":
+        canon = np.repeat(((g % 16) * 17)[:, :, None], 3, axis=2)
+    elif layout == "graya8":
+        canon = over_white(np.repeat(g[:, :, None], 3, axis=2), a)
+    else:  # pal4i
+        j = np.arange(16, dtype=np.int64)
+        pal = np.stack(
+            [(j * 53) % 256, (j * 97 + 5) % 256, (j * 29 + 160) % 256], axis=1
+        )
+        pal_a = np.full(16, 255, dtype=np.int64)
+        pal_a[:8] = (j[:8] * 32) % 256
+        idx = (r + a) % 16
+        canon = over_white(pal[idx], pal_a[idx])
+    return layout, canon.astype(np.uint8)
+
+
+@lru_cache(maxsize=1)
+def png_rows() -> tuple[tuple[str, str, int, int, int], ...]:
+    """(image_id, layout, w, h, phash) for the 90-image full-spec web-PNG
+    corpus — phash of the codec-free canonical RGB by the integer-exact
+    path. Matches the engine iff decode(encode_ex(...)) is pixel-exact for
+    every layout (all five filters, palette+tRNS, alpha, 16-bit, 4-bit,
+    Adam7)."""
+    rows = []
+    for i in range(_N_PNG):
+        layout, canon = _png_canonical(i)
+        h, w = canon.shape[:2]
+        rows.append((f"web{i:08d}", layout, w, h, avg_hash_exact(canon)))
+    return tuple(rows)
+
+
 _RS_W = _RS_H = 24  # resize contract target (8 | 24, so phash stays exact)
 
 

@@ -141,6 +141,130 @@ def tile_images(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.range(0, n, 1, parts).mapInPandas(gen, schema=IMAGE_SCHEMA)
 
 
+_T_PW, _T_PH, _T_PPIX = 240, 241, 242
+
+#: the nine full-spec PNG layouts of the web_pngs corpus, cycled by i % 9
+PNG_LAYOUTS = (
+    "rgb8",     # color type 2, adaptive filters (Sub/Up/Average/Paeth mix)
+    "rgba8",    # color type 6, alpha composites over white
+    "pal8",     # color type 3 + tRNS palette alpha
+    "gray8",    # color type 0
+    "rgb16",    # color type 2, 16-bit samples (high-byte reduction)
+    "gray4",    # color type 0, 4-bit (bit-replication expansion)
+    "rgb8i",    # color type 2, Adam7 interlaced
+    "graya8",   # color type 4 (gray + alpha)
+    "pal4i",    # color type 3, 4-bit palette, Adam7 interlaced
+)
+
+
+def _png_planes(i: int, seed: int):
+    """The web-PNG corpus content definition: four deterministic 8-bit
+    planes (r, g, b, a) from the engine's hash RNG. Re-derived
+    independently by plans/media_oracle.py:_png_canonical — change one and
+    the other must move with it (tests/test_media_oracle.py cross-checks)."""
+    one = np.array([i], dtype=np.int64)
+    w = SIZES[int(rng.u_np(one, _T_PW, seed)[0] * len(SIZES)) % len(SIZES)]
+    h = SIZES[int(rng.u_np(one, _T_PH, seed)[0] * len(SIZES)) % len(SIZES)]
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 5 + yy * 11 + i * 7) % 256
+    keys = (np.arange(h * w, dtype=np.int64) * 997 + i) % (1 << 31)
+    noise = (rng.u_np(keys, _T_PPIX, seed) * 96).astype(np.int64).reshape(h, w)
+    r = (base + noise) % 256
+    g = (base * 3 + noise) % 256
+    b = (base * 5 + noise // 3) % 256
+    a = (base * 7 + noise * 2) % 256
+    return r, g, b, a
+
+
+#: deterministic palettes for the pal8 / pal4i layouts (corpus definition)
+def _png_pal256() -> np.ndarray:
+    j = np.arange(256, dtype=np.int64)
+    return np.stack([(j * 37) % 256, (j * 73 + 11) % 256, (j * 151 + 29) % 256], axis=1)
+
+
+def _png_pal16() -> np.ndarray:
+    j = np.arange(16, dtype=np.int64)
+    return np.stack([(j * 53) % 256, (j * 97 + 5) % 256, (j * 29 + 160) % 256], axis=1)
+
+
+_PNG_TRNS256 = bytes((j * 16) % 256 for j in range(64))  # entries >= 64 opaque
+_PNG_TRNS16 = bytes((j * 32) % 256 for j in range(8))
+
+
+def make_web_png(i: int, seed: int) -> tuple[bytes, int, int, str, str, int]:
+    """One 'crawled web PNG': full-spec layout cycled by i % 9 over
+    PNG_LAYOUTS (palette/alpha/16-bit/sub-8-bit/Adam7, adaptive per-row
+    filters throughout — the layouts libpng-era writers actually emit,
+    which the engine's pre-round-5 RGB/filter-0 reader rejected).
+    Returns (data, w, h, layout, fmt, phash) where phash is the engine
+    hash of a FRESH DECODE of the bytes (canonical RGB, alpha over white)
+    — the invariant every image operator maintains."""
+    from ..functions import png
+
+    r, g, b, a = _png_planes(i, seed)
+    h, w = r.shape
+    layout = PNG_LAYOUTS[i % len(PNG_LAYOUTS)]
+    kw: dict = {"filters": "adaptive"}
+    if layout == "rgb8":
+        samples = np.stack([r, g, b], axis=2)
+        kw.update(color_type=2, depth=8)
+    elif layout == "rgba8":
+        samples = np.stack([r, g, b, a], axis=2)
+        kw.update(color_type=6, depth=8)
+    elif layout == "pal8":
+        samples = (r + a) % 256
+        kw.update(color_type=3, depth=8, palette=_png_pal256(), trns=_PNG_TRNS256)
+    elif layout == "gray8":
+        samples = g
+        kw.update(color_type=0, depth=8)
+    elif layout == "rgb16":
+        samples = np.stack([r, g, b], axis=2) * 257
+        kw.update(color_type=2, depth=16)
+    elif layout == "gray4":
+        samples = g % 16
+        kw.update(color_type=0, depth=4)
+    elif layout == "rgb8i":
+        samples = np.stack([r, g, b], axis=2)
+        kw.update(color_type=2, depth=8, interlace=True)
+    elif layout == "graya8":
+        samples = np.stack([g, a], axis=2)
+        kw.update(color_type=4, depth=8)
+    else:  # pal4i
+        samples = (r + a) % 16
+        kw.update(
+            color_type=3, depth=4, palette=_png_pal16(), trns=_PNG_TRNS16,
+            interlace=True,
+        )
+    data = png.encode_ex(samples, **kw)
+    canon = png.decode(data)
+    return data, w, h, layout, "png", imagecodec.average_hash(canon)
+
+
+def web_pngs(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """input_hint-shaped table of the full-spec PNG corpus (layout rides
+    the caption column; schema and distributed generation as
+    :func:`sensitive_images`)."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            xs, ys = point_pattern(ids, seed)
+            rows = []
+            for k, i in enumerate(ids):
+                data, w, h, layout, fmt, ph = make_web_png(int(i), seed)
+                rows.append(
+                    (f"web{int(i):08d}", int(i), data, w, h, fmt,
+                     layout, ph, float(xs[k]), float(ys[k]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "pid", "bytes", "w", "h", "fmt",
+                         "caption", "phash", "x", "y"],
+            )
+
+    parts = max(8, min(256, n // 2000 + 1))
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
 def caption(i: int, seed: int) -> str:
     ks = np.arange(5, dtype=np.int64) + i * 11
     idx = (rng.u_np(ks, _T_CAP, seed) * len(_WORDS)).astype(np.int64) % len(_WORDS)

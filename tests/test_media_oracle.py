@@ -113,3 +113,25 @@ def test_phash_dedup_recovers_planted_pairs():
     # quantization at PSNR~41dB keeps phash within the hamming budget for
     # the overwhelming majority of the corpus
     assert n_joined >= 110, n_joined
+
+
+def test_png_corpus_decode_matches_codec_free_canonical():
+    """The image_decode_png oracle's cross-check: for every web-PNG fixture
+    the engine's full decode of the encoded bytes (filters/palette/alpha/
+    depth/Adam7 machinery) must equal the codec-free canonical RGB derived
+    by plans/media_oracle.py:_png_canonical, and the stored phash must
+    match the integer-exact hash of that canonical."""
+    from maskmypy_spark.functions import png
+
+    rows = {r[0]: r for r in media_oracle.png_rows()}
+    seen_layouts = set()
+    for i in range(media_oracle._N_PNG):
+        data, w, h, layout, fmt, ph = fixtures.make_web_png(i, media_oracle.SEED)
+        l2, canon = media_oracle._png_canonical(i)
+        assert layout == l2, i
+        seen_layouts.add(layout)
+        dec = png.decode(data)
+        assert np.array_equal(dec, canon), (i, layout)
+        assert ph == media_oracle.avg_hash_exact(canon), (i, layout)
+        assert rows[f"web{i:08d}"] == (f"web{i:08d}", layout, w, h, ph), i
+    assert seen_layouts == set(media_oracle._PNG_LAYOUTS)
