@@ -132,6 +132,26 @@ def encode_jpgprog(img: np.ndarray) -> bytes:
     return _jpeg.encode_jpeg(img, quality=98, subsampling="420", progressive=True)
 
 
+def encode_gif(img: np.ndarray) -> bytes:
+    """Single-frame GIF (functions/gif.py). Indexed-color format: a
+    <=256-distinct-color image is required (np.unique builds the global
+    palette deterministically) — GIF's color-quantization step is out of
+    scope, so rich-color content must be quantized first. Lossless on any
+    palette-friendly image."""
+    from . import gif as _gif
+
+    idx, pal = _gif.palettize(img)
+    return _gif.encode_gif(idx, pal)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """First composited frame, canonical uint8 RGB (full 87a/89a surface:
+    LZW, local palettes, interlace, transparency over white)."""
+    from . import gif as _gif
+
+    return _gif.decode(data)
+
+
 CODECS = {
     "ppm": (encode_ppm, decode_ppm),
     "bmp": (encode_bmp, decode_bmp),
@@ -140,6 +160,7 @@ CODECS = {
     # decode_jpg reads the sampling layout (and scan mode) from the stream
     "jpg420": (encode_jpg420, decode_jpg),
     "jpgprog": (encode_jpgprog, decode_jpg),
+    "gif": (encode_gif, decode_gif),
 }
 
 #: formats where decode(encode(img)) != img; consumers that maintain the

@@ -7,11 +7,14 @@ Codecs: RAW and COMPRESSED formats are REAL and dependency-free —
 audio 'pcm16' (little-endian int16) and 'adpcm' (IMA ADPCM 4:1,
 functions/adpcm.py); video 'rawrgb' (concatenated H x W x 3 uint8 frames)
 and 'mjpeg' (length-framed Motion-JPEG over the baseline JFIF codec,
-functions/jpeg.py) — so resample / transcode / frame-sample / stats run
-end-to-end on actual compressed bytes. Only PERCEPTUAL/INTER-FRAME formats
-(mp3/aac/h264/vp9), which need licensed psychoacoustic/motion machinery,
-remain STUBBED behind a clearly-marked ``NotImplementedError`` (per the
-build brief) with identical, tested Spark-side plumbing.
+functions/jpeg.py), plus 'gif' (animated GIF via functions/gif.py — LZW,
+local palettes, transparency, all disposal methods; frames decode already
+composited on the logical screen) — so resample / transcode / frame-sample
+/ stats run end-to-end on actual compressed bytes. Only PERCEPTUAL/
+INTER-FRAME formats (mp3/aac/h264/vp9), which need licensed
+psychoacoustic/motion machinery, remain STUBBED behind a clearly-marked
+``NotImplementedError`` (per the build brief) with identical, tested
+Spark-side plumbing.
 """
 
 from __future__ import annotations
@@ -86,6 +89,16 @@ def decode_video(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
                 f"metadata says {w}x{h}"
             )
         return out
+    if fmt == "gif":
+        from ..functions import gif as _gif
+
+        out = np.stack([f for _, f in _gif.decode_frames(data)])
+        if out.shape[1:3] != (h, w):
+            raise ValueError(
+                f"gif logical screen is {out.shape[2]}x{out.shape[1]}, "
+                f"metadata says {w}x{h}"
+            )
+        return out
     raise NotImplementedError(
         f"video format {fmt!r}: inter-frame codecs are not available in this "
         "environment — STUB (plumbing is format-agnostic; swap the codec in; "
@@ -107,6 +120,15 @@ def encode_video(frames: np.ndarray, fmt: str = "rawrgb", quality: int = 98) -> 
             enc = _jpeg.encode_jpeg(np.asarray(f, dtype=np.uint8), quality)
             parts.append(_struct.pack("<I", len(enc)) + enc)
         return b"".join(parts)
+    if fmt == "gif":
+        # indexed-color writer (functions/gif.py): a shared <=256-color
+        # palette must exist — GIF's quantization step is out of scope,
+        # exactly like the still-image 'gif' codec (imagecodec.py)
+        from ..functions import gif as _gif
+
+        arr = np.ascontiguousarray(frames, dtype=np.uint8)
+        idx, pal = _gif.palettize(arr)
+        return _gif.encode_ex(list(idx), pal, delays=[10] * len(idx))
     raise NotImplementedError(f"video format {fmt!r}: see decode_video")
 
 

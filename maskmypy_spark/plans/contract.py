@@ -1333,6 +1333,126 @@ def _q_image_decode_png():
     return q, sql
 
 
+def _q_image_decode_gif():
+    """Full-spec GIF decode end-to-end (round 5, completing the crawled-web
+    raster surface next to image_decode_420/prog/png): the web-GIF corpus
+    plants every decode feature a real GIF uses — global and LOCAL color
+    tables (with a deliberately-wrong global one, so the local table must
+    win), GCE transparency over the white logical screen, 4-pass row
+    interlace, offset frame rects with undrawn white margins, and the
+    12-bit LZW dictionary-growth + mid-stream-clear edge
+    (sources/fixtures.py:web_gifs, 6 layouts) — and the standard reencode
+    operator decodes the bytes distributed (functions/gif.py) and
+    refreshes phash from the decoded pixels. Oracle = VALUES of the
+    integer-exact phash of the codec-free canonical RGB
+    (plans/media_oracle.py:gif_rows): every layout is planted lossless
+    w.r.t. its canonicalization (GIF is lossless on indexed content), so
+    phash equality proves the whole LZW/interlace/table/transparency
+    decode chain pixel-faithful. Reference scope anchor: the reference
+    delegates raster IO to its geopandas/PIL stack; the engine ships its
+    own codec (SURVEY §7)."""
+    from ..operators import images as imops
+    from ..sources import fixtures
+    from . import media_oracle
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        src = fixtures.web_gifs(spark, 90, seed=42)
+        r = imops.reencode(src, fmt="bmp")
+        return (
+            r.select(
+                "image_id", F.col("caption").alias("layout"), "w", "h", "phash"
+            ).orderBy("image_id")
+        )
+
+    vals = ", ".join(
+        f"('{i}', '{l}', {w}, {h}, {p})"
+        for i, l, w, h, p in media_oracle.gif_rows()
+    )
+    sql = (
+        f"SELECT image_id, layout, w, h, phash "
+        f"FROM (VALUES {vals}) t(image_id, layout, w, h, phash) "
+        f"ORDER BY image_id"
+    )
+    return q, sql
+
+
+def _q_gif_frame_stats():
+    """Animated-GIF frame compositing end-to-end (round 5): 40 animations
+    exercise every GIF89a inter-frame feature — partial frame rects,
+    disposal methods 0/2/3 (leave / restore-to-background / restore-to-
+    previous), per-frame transparency, and a per-frame local palette
+    (sources/fixtures.py:gif_animations, 4 scenarios) — through the SAME
+    video_frame_sample -> image_stats pipeline as rawrgb/mjpeg clips, so
+    the compressed multi-frame path is exercised by the standard
+    multimodal handoff, not a bespoke query. Oracle = VALUES of the
+    image_stats reductions on independently-composited frames
+    (plans/media_oracle.py:gif_frame_stats_rows — spec semantics applied
+    directly to the closed-form index planes, never touching the encoded
+    bytes)."""
+    from . import media_oracle
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        from ..operators import images as imops
+        from ..operators import media
+        from ..sources import fixtures
+
+        anims = fixtures.gif_animations(spark, 40, seed=42)
+        frames = media.video_frame_sample(anims, every_n=1)
+        return imops.image_stats(frames).orderBy("image_id")
+
+    vals = ", ".join(
+        f"('{i}', {flit(b)}, {flit(c)}, {flit(r)}, {flit(g)}, {flit(bl)})"
+        for i, b, c, r, g, bl in media_oracle.gif_frame_stats_rows()
+    )
+    sql = (
+        "SELECT image_id, brightness, contrast, mean_r, mean_g, mean_b "
+        f"FROM (VALUES {vals}) "
+        "t(image_id, brightness, contrast, mean_r, mean_g, mean_b) "
+        "ORDER BY image_id"
+    )
+    return q, sql
+
+
+def _q_image_decode_mixed():
+    """Heterogeneous crawled-shard decode (round 5): ONE table whose fmt
+    column mixes full-spec PNG, full-spec GIF, and 4:2:0 JPEG rows — the
+    shape a real crawl shard actually has — pushed through a single
+    reencode pass, so the per-row codec dispatch (functions/imagecodec.py
+    CODECS) is exercised inside one Arrow batch rather than per-format
+    queries. Oracle = the union of the three independent VALUES
+    derivations (png_rows / gif_rows / image_420_rows — each planted
+    lossless w.r.t. its canonicalization), projected to (id, w, h, phash).
+    Marginal decode coverage is zero by construction (the three per-format
+    entries pin each chain); what THIS entry pins is the dispatch and
+    batch plumbing over mixed formats."""
+    from ..operators import images as imops
+    from ..sources import fixtures
+    from . import media_oracle
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        pngs = fixtures.web_pngs(spark, 90, seed=42)
+        gifs = fixtures.web_gifs(spark, 90, seed=42)
+        tiles = imops.reencode(
+            fixtures.tile_images(spark, 80, seed=42), fmt="jpg420"
+        )
+        src = pngs.unionByName(gifs).unionByName(tiles)
+        # repartition without a key: every partition gets a format mix
+        r = imops.reencode(src.repartition(8), fmt="bmp")
+        return r.select("image_id", "w", "h", "phash").orderBy("image_id")
+
+    rows = (
+        [(i, w, h, p) for i, _l, w, h, p in media_oracle.png_rows()]
+        + [(i, w, h, p) for i, _l, w, h, p in media_oracle.gif_rows()]
+        + [(i, w, h, p) for i, _f, w, h, p in media_oracle.image_420_rows()]
+    )
+    vals = ", ".join(f"('{i}', {w}, {h}, {p})" for i, w, h, p in rows)
+    sql = (
+        f"SELECT image_id, w, h, phash "
+        f"FROM (VALUES {vals}) t(image_id, w, h, phash) ORDER BY image_id"
+    )
+    return q, sql
+
+
 def _q_image_resize():
     """Thumbnail resize (operators/images.py:image_resize) driver gate:
     24x24 nearest-neighbor over the image corpus, verified on the refreshed
@@ -1934,6 +2054,9 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["image_decode_420"] = _q_image_decode_420()
     reg["image_decode_prog"] = _q_image_decode_prog()
     reg["image_decode_png"] = _q_image_decode_png()
+    reg["image_decode_gif"] = _q_image_decode_gif()
+    reg["gif_frame_stats"] = _q_gif_frame_stats()
+    reg["image_decode_mixed"] = _q_image_decode_mixed()
     reg["video_frame_stats"] = _q_video_frame_stats()
     reg["audio_stats"] = _q_audio_stats()
     reg["audio_transcode"] = _q_audio_transcode()

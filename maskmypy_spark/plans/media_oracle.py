@@ -470,3 +470,158 @@ def video_frame_stats_rows() -> tuple[tuple[str, float, float, float, float, flo
                 )
             )
     return tuple(rows)
+
+
+# -------------------------------------------------------------------- gifs
+
+_T_GW, _T_GH, _T_GPIX = 250, 251, 252
+_N_GIF = 90
+
+_GIF_LAYOUTS = ("gp8", "lp16", "tr", "il", "off", "lzw12")
+_GIF_TR_IDX = 5
+
+
+def _gif_pal256() -> np.ndarray:
+    j = np.arange(256, dtype=np.int64)
+    return np.stack([(j * 41) % 256, (j * 89 + 17) % 256, (j * 139 + 51) % 256], axis=1)
+
+
+def _gif_pal16() -> np.ndarray:
+    j = np.arange(16, dtype=np.int64)
+    return np.stack([(j * 61 + 7) % 256, (j * 113 + 29) % 256, (j * 31 + 180) % 256], axis=1)
+
+
+def _gif_canonical(i: int, seed: int = SEED) -> tuple[str, np.ndarray]:
+    """(layout, canonical uint8 RGB on the logical screen) of web-GIF
+    fixture ``i`` — the corpus definition of sources/fixtures.py:
+    _gif_indices/make_web_gif re-derived codec-free. The engine path goes
+    index-plane -> gif.encode_ex (LZW sub-blocks / local tables /
+    interlace / GCE) -> functions/gif.py full decode -> composited screen;
+    this path never touches a byte of GIF stream and builds the canonical
+    image directly from the layout semantics: palette lookup as int64
+    fancy indexing, transparent and undrawn pixels opaque white (the
+    engine's alpha-over-white convention). Equality of the engine's phash
+    (hash of a fresh decode of the bytes) with avg_hash_exact of THIS
+    image therefore proves the whole LZW/interlace/local-table/
+    transparency decode chain pixel-faithful — including the 12-bit
+    dictionary-growth + mid-stream-clear edge the 96x96 'lzw12' layout
+    forces."""
+    layout = _GIF_LAYOUTS[i % len(_GIF_LAYOUTS)]
+    one = np.array([i], dtype=np.int64)
+    if layout == "lzw12":
+        w = h = 96
+    else:
+        w = _SIZES[int(u_np(one, _T_GW, seed)[0] * len(_SIZES)) % len(_SIZES)]
+        h = _SIZES[int(u_np(one, _T_GH, seed)[0] * len(_SIZES)) % len(_SIZES)]
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 7 + yy * 13 + i * 5) % 256
+    keys = (np.arange(h * w, dtype=np.int64) * 1009 + i) % (1 << 31)
+    noise = (u_np(keys, _T_GPIX, seed) * 128).astype(np.int64).reshape(h, w)
+    idx = (base + noise) % 256
+    if layout in ("gp8", "lzw12"):
+        canon = _gif_pal256()[idx]
+    elif layout in ("lp16", "il"):
+        canon = _gif_pal16()[idx % 16]
+    elif layout == "tr":
+        canon = _gif_pal16()[idx % 16]
+        canon[idx % 16 == _GIF_TR_IDX] = 255
+    else:  # off: frame rect centered on a white screen
+        fh, fw = h // 2, w // 2
+        fy, fx = h // 4, w // 4
+        canon = np.full((h, w, 3), 255, dtype=np.int64)
+        canon[fy : fy + fh, fx : fx + fw] = _gif_pal256()[
+            idx[fy : fy + fh, fx : fx + fw]
+        ]
+    return layout, canon.astype(np.uint8)
+
+
+@lru_cache(maxsize=1)
+def gif_rows() -> tuple[tuple[str, str, int, int, int], ...]:
+    """(image_id, layout, w, h, phash) for the 90-image full-spec web-GIF
+    corpus — phash of the codec-free canonical RGB by the integer-exact
+    path. Matches the engine iff decode(encode_ex(...)) is pixel-exact for
+    every layout (global/local tables, transparency, interlace, offset
+    rects, 12-bit LZW with deferred clear)."""
+    rows = []
+    for i in range(_N_GIF):
+        layout, canon = _gif_canonical(i)
+        h, w = canon.shape[:2]
+        rows.append((f"gif{i:08d}", layout, w, h, avg_hash_exact(canon)))
+    return tuple(rows)
+
+
+_N_GIF_ANIM = 40
+_GIF_ANIM_W, _GIF_ANIM_H, _GIF_ANIM_FRAMES = 20, 16, 4
+_GIF_ANIM_RECTS = ((2, 1, 10, 8), (8, 6, 10, 8), (4, 3, 10, 8))
+_GIF_ANIM_SCENARIOS = ("d0", "d2", "d3", "mix")
+
+
+def _gif_pal16b() -> np.ndarray:
+    j = np.arange(16, dtype=np.int64)
+    return np.stack([(j * 19 + 33) % 256, (j * 47 + 90) % 256, (j * 71 + 12) % 256], axis=1)
+
+
+def _gif_anim_frames(i: int) -> np.ndarray:
+    """All composited frames of animation fixture ``i`` (uint8, (4, 16,
+    20, 3)) — the GIF89a disposal/transparency semantics applied directly
+    to the closed-form index planes of sources/fixtures.py:
+    make_gif_animation, never touching the encoded bytes: paint frame 0
+    full-screen, then each partial rect (skipping transparent indices),
+    recording the screen after each frame and then disposing the rect
+    (2 -> white, 3 -> the pixels saved before the paint)."""
+    scen = _GIF_ANIM_SCENARIOS[i % 4]
+    w, h, k = _GIF_ANIM_W, _GIF_ANIM_H, _GIF_ANIM_FRAMES
+    disposals = {
+        "d0": (0, 0, 0, 0),
+        "d2": (0, 2, 2, 0),
+        "d3": (0, 3, 3, 0),
+        "mix": (0, 2, 3, 0),
+    }[scen]
+    canvas = np.full((h, w, 3), 255, dtype=np.uint8)
+    out = []
+    for f in range(k):
+        if f == 0:
+            fx, fy, fw, fh = 0, 0, w, h
+        else:
+            fx, fy, fw, fh = _GIF_ANIM_RECTS[f - 1]
+        yy, xx = np.mgrid[0:fh, 0:fw]
+        idx = ((xx * 3 + yy * 5 + i * 7 + f * 11) % 16).astype(np.int64)
+        pal = _gif_pal16b() if (scen == "mix" and f == 2) else _gif_pal16()
+        rgb = pal[idx].astype(np.uint8)
+        saved = canvas[fy : fy + fh, fx : fx + fw].copy()
+        target = canvas[fy : fy + fh, fx : fx + fw]
+        if scen == "mix" and f in (1, 2):
+            opaque = idx != _GIF_TR_IDX
+            target[opaque] = rgb[opaque]
+        else:
+            target[:] = rgb
+        out.append(canvas.copy())
+        if disposals[f] == 2:
+            canvas[fy : fy + fh, fx : fx + fw] = 255
+        elif disposals[f] == 3:
+            canvas[fy : fy + fh, fx : fx + fw] = saved
+    return np.stack(out)
+
+
+@lru_cache(maxsize=1)
+def gif_frame_stats_rows() -> tuple[tuple[str, float, float, float, float, float], ...]:
+    """(image_id, brightness, contrast, mean_r, mean_g, mean_b) for every
+    frame of the 40-animation fixture — independent compositing
+    (_gif_anim_frames) + the image_stats reductions on an identical
+    C-contiguous float64 array."""
+    rows = []
+    for i in range(_N_GIF_ANIM):
+        frames = _gif_anim_frames(i)
+        for f in range(_GIF_ANIM_FRAMES):
+            img = np.ascontiguousarray(frames[f]).astype(np.float64)
+            rows.append(
+                (
+                    f"gan{i:06d}_f{f:05d}",
+                    float(img.mean()),
+                    float(img.std()),
+                    float(img[:, :, 0].mean()),
+                    float(img[:, :, 1].mean()),
+                    float(img[:, :, 2].mean()),
+                )
+            )
+    return tuple(rows)

@@ -265,6 +265,118 @@ def web_pngs(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.range(0, n, 1, parts).mapInPandas(gen, schema=IMAGE_SCHEMA)
 
 
+#: the six GIF layouts of the web_gifs corpus, cycled by i % 6
+GIF_LAYOUTS = (
+    "gp8",     # 256-color global palette, GIF87a
+    "lp16",    # local color table overrides a deliberately-wrong global one
+    "tr",      # GCE transparency index over the white logical screen
+    "il",      # 4-pass row interlace
+    "off",     # frame rect offset inside a larger screen (white margins)
+    "lzw12",   # 96x96 noise: LZW width grows to 12 bits + mid-stream clear
+)
+
+_T_GW, _T_GH, _T_GPIX = 250, 251, 252
+
+
+def _gif_indices(i: int, seed: int) -> np.ndarray:
+    """The web-GIF corpus content definition: one deterministic 8-bit index
+    plane from the engine's hash RNG (layouts reduce it mod their palette
+    size). Re-derived independently by plans/media_oracle.py:_gif_canonical
+    — change one and the other must move with it
+    (tests/test_media_oracle.py cross-checks)."""
+    one = np.array([i], dtype=np.int64)
+    if GIF_LAYOUTS[i % len(GIF_LAYOUTS)] == "lzw12":
+        w = h = 96  # enough distinct pairs to push the dictionary past 4095
+    else:
+        w = SIZES[int(rng.u_np(one, _T_GW, seed)[0] * len(SIZES)) % len(SIZES)]
+        h = SIZES[int(rng.u_np(one, _T_GH, seed)[0] * len(SIZES)) % len(SIZES)]
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 7 + yy * 13 + i * 5) % 256
+    keys = (np.arange(h * w, dtype=np.int64) * 1009 + i) % (1 << 31)
+    noise = (rng.u_np(keys, _T_GPIX, seed) * 128).astype(np.int64).reshape(h, w)
+    return ((base + noise) % 256).astype(np.uint8)
+
+
+#: deterministic palettes (corpus definition, mirrored in media_oracle)
+def _gif_pal256() -> np.ndarray:
+    j = np.arange(256, dtype=np.int64)
+    return np.stack([(j * 41) % 256, (j * 89 + 17) % 256, (j * 139 + 51) % 256], axis=1)
+
+
+def _gif_pal16() -> np.ndarray:
+    j = np.arange(16, dtype=np.int64)
+    return np.stack([(j * 61 + 7) % 256, (j * 113 + 29) % 256, (j * 31 + 180) % 256], axis=1)
+
+
+_GIF_TR_IDX = 5  # transparency index of the "tr" layout
+
+
+def make_web_gif(i: int, seed: int) -> tuple[bytes, int, int, str, str, int]:
+    """One 'crawled web GIF': full-spec layout cycled by i % 6 over
+    GIF_LAYOUTS — global/local color tables, transparency, interlace,
+    offset frame rects, and the 12-bit/deferred-clear LZW edge (the
+    features real web GIFs actually use). Returns (data, w, h, layout,
+    fmt, phash) where (w, h) is the LOGICAL SCREEN and phash is the engine
+    hash of a fresh decode of the bytes — the invariant every image
+    operator maintains."""
+    from ..functions import gif
+
+    idx = _gif_indices(i, seed)
+    h, w = idx.shape
+    layout = GIF_LAYOUTS[i % len(GIF_LAYOUTS)]
+    kw: dict = {}
+    pal = _gif_pal256()
+    if layout == "gp8":
+        kw.update(version=b"GIF87a")
+    elif layout == "lp16":
+        idx = idx % 16
+        # global table is a wrong 4-color stub: decode must use the local one
+        pal = np.tile(np.array([[255, 0, 255]], dtype=np.int64), (4, 1))
+        kw.update(local_palettes=[_gif_pal16()])
+    elif layout == "tr":
+        idx = idx % 16
+        pal = _gif_pal16()
+        kw.update(transparents=[_GIF_TR_IDX])
+    elif layout == "il":
+        idx = idx % 16
+        pal = _gif_pal16()
+        kw.update(interlace=True)
+    elif layout == "off":
+        fh, fw = h // 2, w // 2
+        fy, fx = h // 4, w // 4
+        idx = idx[fy : fy + fh, fx : fx + fw]
+        kw.update(screen=(w, h), rects=[(fx, fy)])
+    # lzw12 is the plain layout at 96x96 — the size IS the feature
+    data = gif.encode_ex([idx], pal, **kw)
+    canon = gif.decode(data)
+    return data, w, h, layout, "gif", imagecodec.average_hash(canon)
+
+
+def web_gifs(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """input_hint-shaped table of the full-spec GIF corpus (layout rides
+    the caption column; schema and distributed generation as
+    :func:`sensitive_images`)."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            xs, ys = point_pattern(ids, seed)
+            rows = []
+            for k, i in enumerate(ids):
+                data, w, h, layout, fmt, ph = make_web_gif(int(i), seed)
+                rows.append(
+                    (f"gif{int(i):08d}", int(i), data, w, h, fmt,
+                     layout, ph, float(xs[k]), float(ys[k]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "pid", "bytes", "w", "h", "fmt",
+                         "caption", "phash", "x", "y"],
+            )
+
+    parts = max(8, min(256, n // 2000 + 1))
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
 def caption(i: int, seed: int) -> str:
     ks = np.arange(5, dtype=np.int64) + i * 11
     idx = (rng.u_np(ks, _T_CAP, seed) * len(_WORDS)).astype(np.int64) % len(_WORDS)
@@ -357,6 +469,92 @@ def video_clips(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=["video_id", "bytes", "w", "h", "n_frames", "fps", "fmt", "caption"],
+            )
+
+    return spark.range(0, n, 1, max(4, n // 100 + 1)).mapInPandas(
+        gen, schema=media.VIDEO_SCHEMA
+    )
+
+
+#: the four animation scenarios of gif_animations, cycled by i % 4
+GIF_ANIM_SCENARIOS = ("d0", "d2", "d3", "mix")
+_GIF_ANIM_W, _GIF_ANIM_H, _GIF_ANIM_FRAMES = 20, 16, 4
+#: partial-frame rects for frames 1..3: (x, y, w, h) on the logical screen
+_GIF_ANIM_RECTS = ((2, 1, 10, 8), (8, 6, 10, 8), (4, 3, 10, 8))
+
+
+def _gif_pal16b() -> np.ndarray:
+    """Second 16-color palette (the 'mix' scenario's frame-2 local table)."""
+    j = np.arange(16, dtype=np.int64)
+    return np.stack([(j * 19 + 33) % 256, (j * 47 + 90) % 256, (j * 71 + 12) % 256], axis=1)
+
+
+def _gif_anim_frame_idx(i: int, f: int, fh: int, fw: int) -> np.ndarray:
+    """Closed-form frame content (like video_clips — no RNG needed)."""
+    yy, xx = np.mgrid[0:fh, 0:fw]
+    return ((xx * 3 + yy * 5 + i * 7 + f * 11) % 16).astype(np.uint8)
+
+
+def make_gif_animation(i: int) -> bytes:
+    """One animated GIF exercising inter-frame compositing: frame 0 paints
+    the full screen, frames 1..3 are partial rects, and the scenario
+    (i % 4) picks the disposal/transparency/local-palette combination —
+    'd0' leave-in-place, 'd2' restore-to-background (white), 'd3'
+    restore-to-previous, 'mix' = transparency on frames 1-2 + a local
+    palette on frame 2 + disposals 2 then 3. plans/media_oracle.py:
+    _gif_anim_frames re-composites the same definition independently."""
+    from ..functions import gif
+
+    scen = GIF_ANIM_SCENARIOS[i % len(GIF_ANIM_SCENARIOS)]
+    w, h, k = _GIF_ANIM_W, _GIF_ANIM_H, _GIF_ANIM_FRAMES
+    frames = [_gif_anim_frame_idx(i, 0, h, w)]
+    rects = [(0, 0)]
+    for f in range(1, k):
+        fx, fy, fw, fh = _GIF_ANIM_RECTS[f - 1]
+        frames.append(_gif_anim_frame_idx(i, f, fh, fw))
+        rects.append((fx, fy))
+    disposals = {
+        "d0": [0, 0, 0, 0],
+        "d2": [0, 2, 2, 0],
+        "d3": [0, 3, 3, 0],
+        "mix": [0, 2, 3, 0],
+    }[scen]
+    transparents = [-1, _GIF_TR_IDX, _GIF_TR_IDX, -1] if scen == "mix" else None
+    local_palettes = (
+        [None, None, _gif_pal16b(), None] if scen == "mix" else None
+    )
+    return gif.encode_ex(
+        frames,
+        _gif_pal16(),
+        screen=(w, h),
+        rects=rects,
+        delays=[10] * k,
+        disposals=disposals,
+        transparents=transparents,
+        local_palettes=local_palettes,
+    )
+
+
+def gif_animations(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """VIDEO_SCHEMA table of animated GIFs (fmt 'gif', scenario in the
+    caption) — real compressed multi-frame bytes for the frame-sample /
+    stats pipeline, next to rawrgb/mjpeg (video_clips)."""
+    from ..operators import media
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rows.append(
+                    (f"gan{i:06d}", make_gif_animation(i), _GIF_ANIM_W,
+                     _GIF_ANIM_H, _GIF_ANIM_FRAMES, 10.0, "gif",
+                     GIF_ANIM_SCENARIOS[i % len(GIF_ANIM_SCENARIOS)])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["video_id", "bytes", "w", "h", "n_frames", "fps",
+                         "fmt", "caption"],
             )
 
     return spark.range(0, n, 1, max(4, n // 100 + 1)).mapInPandas(

@@ -162,14 +162,21 @@ def test_jpeg_420_gray_equals_444_within_rounding(h, w, seed):
     x.5 boundary can tip either way — both roundings are within 1 of the
     source). A wrong MCU walk or chroma upsample scrambles whole blocks,
     so the <=1 envelope plus a near-zero mean is still a structural
-    proof."""
+    proof. The tie-DENSITY bound only applies to images with a real
+    interior: below 8x8 every pixel sits in the differently-padded edge
+    blocks (444 pads to 8-multiples, 420 luma to 16-multiples), where
+    boundary ringing makes x.5 ties common — there the <=1 envelope plus
+    the within-1-of-source check below carry the whole proof (hypothesis
+    found 3x11 at tie density 0.09)."""
     rs = np.random.RandomState(seed)
     g = rs.randint(0, 256, (h, w), dtype=np.uint8)
     gray = np.stack([g, g, g], axis=2)
     d444 = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, 100, subsampling="444"))
     d420 = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, 100, subsampling="420"))
     diff = np.abs(d444.astype(np.int64) - d420.astype(np.int64))
-    assert diff.max() <= 1 and diff.mean() < 0.05
+    assert diff.max() <= 1
+    if h >= 8 and w >= 8:
+        assert diff.mean() < 0.05
     assert np.abs(d420.astype(np.int64) - gray.astype(np.int64)).max() <= 1
 
 

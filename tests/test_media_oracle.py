@@ -64,6 +64,8 @@ def test_row_counts():
     assert len(media_oracle.video_frame_stats_rows()) == 192
     assert len(media_oracle.image_420_rows()) == 80
     assert len(media_oracle.image_prog_rows()) == 80
+    assert len(media_oracle.gif_rows()) == 90
+    assert len(media_oracle.gif_frame_stats_rows()) == 160
 
 
 def test_tile_image_reconstruction_codec_free():
@@ -135,3 +137,44 @@ def test_png_corpus_decode_matches_codec_free_canonical():
         assert ph == media_oracle.avg_hash_exact(canon), (i, layout)
         assert rows[f"web{i:08d}"] == (f"web{i:08d}", layout, w, h, ph), i
     assert seen_layouts == set(media_oracle._PNG_LAYOUTS)
+
+
+def test_gif_corpus_decode_matches_codec_free_canonical():
+    """The image_decode_gif oracle's cross-check: for every web-GIF fixture
+    the engine's full decode of the encoded bytes (LZW/sub-blocks/local
+    tables/interlace/GCE machinery) must equal the codec-free canonical RGB
+    derived by plans/media_oracle.py:_gif_canonical, and the stored phash
+    must match the integer-exact hash of that canonical."""
+    from maskmypy_spark.functions import gif
+
+    rows = {r[0]: r for r in media_oracle.gif_rows()}
+    seen_layouts = set()
+    for i in range(media_oracle._N_GIF):
+        data, w, h, layout, fmt, ph = fixtures.make_web_gif(i, media_oracle.SEED)
+        l2, canon = media_oracle._gif_canonical(i)
+        assert layout == l2, i
+        seen_layouts.add(layout)
+        dec = gif.decode(data)
+        assert np.array_equal(dec, canon), (i, layout)
+        assert ph == media_oracle.avg_hash_exact(canon), (i, layout)
+        assert rows[f"gif{i:08d}"] == (f"gif{i:08d}", layout, w, h, ph), i
+    assert seen_layouts == set(media_oracle._GIF_LAYOUTS)
+
+
+def test_gif_animation_compositing_matches_independent_path():
+    """The gif_frame_stats oracle's cross-check: the engine's composited
+    frames (decode_frames over the real encoded bytes) must equal the
+    independent spec-semantics compositing of the closed-form index planes
+    (_gif_anim_frames), for every disposal/transparency/local-palette
+    scenario."""
+    from maskmypy_spark.functions import gif
+
+    seen = set()
+    for i in range(media_oracle._N_GIF_ANIM):
+        data = fixtures.make_gif_animation(i)
+        eng = np.stack([f for _d, f in gif.decode_frames(data)])
+        orc = media_oracle._gif_anim_frames(i)
+        scen = fixtures.GIF_ANIM_SCENARIOS[i % 4]
+        seen.add(scen)
+        assert np.array_equal(eng, orc), (i, scen)
+    assert seen == set(media_oracle._GIF_ANIM_SCENARIOS)
