@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs each of the 60
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each of the 61
 ``queries()[name]`` at sf=0.01 and compares it against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json). As of round 4 every entry carries an

@@ -1759,6 +1759,39 @@ def _q_audio_transcode():
     return q, sql
 
 
+def _q_video_transcode_gif():
+    """Animated-GIF WRITE path end-to-end (round 5; the mjpeg entry below
+    pins the lossy twin): rawrgb clips -> video_transcode(fmt='gif') ->
+    video_stats over the compressed bytes. The rawrgb fixture is
+    palette-friendly by construction (<= 256 distinct colors per clip), so
+    the indexed-color transcode is LOSSLESS and the oracle is the exact
+    closed-form brightness/duration VALUES
+    (plans/media_oracle.py:video_gif_stats_rows) — an LZW-writer,
+    sub-block, or frame-framing bug changes the decoded pixels and the
+    brightness stops matching to the last bit."""
+    from . import media_oracle
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        from ..operators import media
+        from ..sources import fixtures
+
+        vids = fixtures.video_clips(spark, 40, seed=42)
+        return media.video_stats(media.video_transcode(vids, "gif")).orderBy(
+            "video_id"
+        )
+
+    vals = ", ".join(
+        f"('{i}', {flit(b)}, {flit(d)})"
+        for i, b, d in media_oracle.video_gif_stats_rows()
+    )
+    sql = (
+        "SELECT video_id, brightness, duration_sec "
+        f"FROM (VALUES {vals}) t(video_id, brightness, duration_sec) "
+        "ORDER BY video_id"
+    )
+    return q, sql
+
+
 def _q_video_transcode():
     """Motion-JPEG transcode gate (operators/media.py:video_transcode):
     bytes are JPEG-entropy-coded (not re-derivable without a second JPEG
@@ -2061,6 +2094,7 @@ def build() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     reg["audio_stats"] = _q_audio_stats()
     reg["audio_transcode"] = _q_audio_transcode()
     reg["video_transcode"] = _q_video_transcode()
+    reg["video_transcode_gif"] = _q_video_transcode_gif()
     reg["doc_repetition"] = _q_doc_repetition()
     reg["embed_quantize"] = _q_embed_quantize()
     reg["doc_curate"] = _q_curate()

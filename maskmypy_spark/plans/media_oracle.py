@@ -625,3 +625,40 @@ def gif_frame_stats_rows() -> tuple[tuple[str, float, float, float, float, float
                 )
             )
     return tuple(rows)
+
+
+_N_VID_GIF = 40
+
+
+@lru_cache(maxsize=1)
+def video_gif_stats_rows() -> tuple[tuple[str, float, float], ...]:
+    """(video_id, brightness, duration_sec) for the first 40 rawrgb clips
+    AFTER an animated-GIF transcode — closed-form gradient synthesis
+    (sources/fixtures.py:video_clips) + the video_stats reductions. The
+    oracle can be exact because the transcode is LOSSLESS by construction:
+    every clip's colors are (v, 2v%256, 3v%256) for v in 0..255 — at most
+    256 distinct — so the indexed-color write loses nothing, each frame
+    paints the full screen (no disposal residue), and the decoded frames
+    are bit-equal to the raws (pinned by tests/test_gif.py). A GIF writer
+    or LZW bug changes the decoded pixels and the brightness stops
+    matching."""
+    rows = []
+    w, h = 16, 12
+    for i in range(_N_VID_GIF):
+        n_f = 4 + i % 5
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.stack(
+            [
+                np.stack(
+                    [
+                        (xx * 5 + yy * 3 + i * 7 + f * 11) % 256,
+                        ((xx * 5 + yy * 3 + i * 7 + f * 11) % 256 * 2) % 256,
+                        ((xx * 5 + yy * 3 + i * 7 + f * 11) % 256 * 3) % 256,
+                    ],
+                    axis=-1,
+                )
+                for f in range(n_f)
+            ]
+        ).astype(np.float64)
+        rows.append((f"vid{i:06d}", float(frames.mean()), n_f / 10.0))
+    return tuple(rows)

@@ -8,6 +8,8 @@ bit-level vectors; the module's array-based decoder and its
 streaming-width encoder are both checked against them in both directions.
 """
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -305,3 +307,61 @@ def test_media_video_gif_roundtrip():
     assert np.array_equal(media.decode_video(data, 14, 10, "gif"), frames)
     with pytest.raises(ValueError, match="metadata"):
         media.decode_video(data, 10, 14, "gif")
+
+
+def test_video_clip_gif_transcode_lossless():
+    """The property the video_transcode_gif oracle RESTS ON: the rawrgb
+    clip fixture is palette-friendly (colors are (v, 2v%256, 3v%256) —
+    <= 256 distinct), so the animated-GIF transcode must round-trip
+    BIT-EXACTLY. If an engine change breaks this, the contract entry's
+    closed-form brightness oracle stops being a write-path proof — fail
+    here with the clip index instead."""
+    from maskmypy_spark.operators import media
+
+    for i in (0, 1, 7, 23, 39):
+        w, h = 16, 12
+        n_f = 4 + i % 5
+        yy, xx = np.mgrid[0:h, 0:w]
+        fr = np.stack(
+            [((xx * 5 + yy * 3 + i * 7 + f * 11) % 256).astype(np.uint8)
+             for f in range(n_f)]
+        )
+        rgb = np.stack([fr, (fr * 2) % 256, (fr * 3) % 256], axis=-1).astype(
+            np.uint8
+        )
+        data = media.encode_video(rgb, "gif")
+        assert np.array_equal(media.decode_video(data, w, h, "gif"), rgb), i
+
+
+def test_decode_robust_to_truncation_and_corruption():
+    """Malformed streams must raise ValueError (or decode to SOME frame
+    set when the corruption lands in pixel data that still parses) —
+    never hang, never index out of bounds, never return a wrong-shape
+    array. Exercises every truncation point and single-byte corruptions
+    across a real multi-feature stream."""
+    rng = np.random.default_rng(77)
+    f0 = rng.integers(0, 4, (9, 7)).astype(np.uint8)
+    f1 = rng.integers(0, 4, (4, 5)).astype(np.uint8)
+    data = gif.encode_ex(
+        [f0, f1], _PAL, rects=[(0, 0), (1, 2)], disposals=[3, 0],
+        transparents=[-1, 0], interlace=True, delays=[3, 4],
+    )
+    ok = gif.decode_frames(data)
+    assert len(ok) == 2 and ok[0][1].shape == (9, 7, 3)
+    for cut in range(len(data)):
+        try:
+            frames = gif.decode_frames(data[:cut])
+        except (ValueError, IndexError, struct.error):
+            continue
+        for _d, f in frames:
+            assert f.shape == (9, 7, 3)
+    for pos in range(len(data)):
+        for delta in (1, 128):
+            bad = bytearray(data)
+            bad[pos] = (bad[pos] + delta) % 256
+            try:
+                frames = gif.decode_frames(bytes(bad))
+            except (ValueError, IndexError, struct.error):
+                continue
+            for _d, f in frames:
+                assert f.ndim == 3 and f.shape[2] == 3
