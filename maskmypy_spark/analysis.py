@@ -256,19 +256,31 @@ def k_anonymity_address(
     # cells its OWN displacement disk can reach — ~1.4x fewer candidate
     # pairs than a max-radius ring at sf0.1, identical results
     addr_cols = [akey, ax, ay] + ([addr_cell_col] if addr_cell_col else [])
+    if slim:
+        # LEFT OUTER annulus join (distance predicate inside the join
+        # condition): every point's probe rows survive even with zero
+        # within-radius addresses, so k = count(akey) + 1 in ONE aggregate —
+        # no union branch re-deriving the masked table (that branch
+        # recomputed the whole mask per query) and still one join total.
+        # x, y are constant per key (one masked row per point), so they
+        # ride as grouping keys without changing the group set. Values are
+        # identical to the general path (contract-verified).
+        pairs = distance_join(
+            cand.select(key, x, y, "_radius"), address.select(*addr_cols),
+            radius=float(max_radius), lx=x, ly=y, rx=ax, ry=ay, salt=salt,
+            broadcast_right=broadcast_addr, left_radius_col="_radius",
+            cs=cs, right_cell_col=addr_cell_col, how="left",
+        )
+        return (
+            pairs.groupBy(key, x, y)
+            .agg((F.count(akey) + 1).cast("long").alias("k_anonymity"))
+        )
     pairs = distance_join(
         cand.select(key, x, y, "_radius"), address.select(*addr_cols),
         radius=float(max_radius), lx=x, ly=y, rx=ax, ry=ay, salt=salt,
         broadcast_right=broadcast_addr, left_radius_col="_radius",
         cs=cs, right_cell_col=addr_cell_col,
     )
-    if slim:
-        return (
-            pairs.select(key, x, y)
-            .unionByName(cand.select(key, x, y))
-            .groupBy(key, x, y)
-            .agg(F.count(F.lit(1)).alias("k_anonymity"))
-        )
     counts = pairs.groupBy(key).agg((F.count(F.lit(1)) + 1).alias("k_anonymity"))
     return (
         cand.join(counts, key, "left")

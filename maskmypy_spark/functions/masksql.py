@@ -29,10 +29,16 @@ def donut_stages(
     seed: int,
     distribution: str = "uniform",
     attempt: int = 0,
+    fast: bool = False,
 ) -> list[tuple[str, str]]:
     """Ordered (column_name, sql_expr) stages computing offx/offy for the
     donut mask. Each expr may reference previously defined names; apply with
     sequential ``withColumn`` (Spark) or nested CTEs (oracle SQL).
+
+    ``fast=True`` renders the mod-2^31 stages as bitwise ANDs — the
+    Spark-side dialect (rng._and_m): bit-identical integers, one AND instead
+    of a 64-bit modulo per stage in codegen. Oracle SQL (donut_cte) must
+    keep the portable default — its text is hash-frozen.
     """
     low, high = float(low), float(high)
 
@@ -44,6 +50,15 @@ def donut_stages(
         # executing the exact same integer/float operation sequence.
         t = f"_t{name}"
         g = f"_g{name}"
+        if fast:
+            A = rng._and_m
+            g_expr = A(f"{A(f'{t} * {t}')} + {A(f'{t} * {rng.B1}')} + {rng.C1}")
+            h2_expr = A(f"{A(f'{g} * {g}')} + {A(f'{g} * {rng.B2}')} + {rng.C2}")
+            return [
+                (t, rng.t_sql(key, tag, seed, attempt, fast=True)),
+                (g, g_expr),
+                (name, f"{h2_expr} / {flit(rng.M)}"),
+            ]
         return [
             (t, rng.t_sql(key, tag, seed, attempt)),
             (g, f"({t} * {t} % {rng.M} + {t} * {rng.B1} % {rng.M} + {rng.C1}) % {rng.M}"),
@@ -135,6 +150,19 @@ def donut_cte(
         f" round({y} + _offy, {round_dp}) AS my FROM {prev}"
     )
     return sql
+
+
+def swap_pick_parts(pkey: str, akey: str) -> tuple[str, str]:
+    """The two single-side halves of :func:`swap_pick_key`, for PRE-STAGING
+    on the join inputs: the point half is a projection over the point table
+    (before the ring explode) and the address half over the address table
+    (before the join), so the per-candidate-pair work drops to one BIGINT
+    add. int64 addition is exact and commutative here (each half < 2.3e18,
+    sum < 2^63), so ``part_p + part_a`` is bit-identical to the inline
+    :func:`swap_pick_key` rendering the oracle keeps."""
+    p = f"((({pkey}) % {rng.P1}) * 998244353 + (({pkey}) % {rng.P2}) * 69119)"
+    a = f"((({akey}) % {rng.P1}) * 905035071 + (({akey}) % {rng.P2}) * 1000003)"
+    return p, a
 
 
 def swap_pick_key(pkey: str, akey: str) -> str:

@@ -61,6 +61,21 @@ TAG_SIM_Y = 9         # Ripley CSR simulation draws (y)
 TAG_KSAMPLE = 10      # Ripley scale-guard point thinning draw
 
 
+MASK = M - 1  # 2^31 - 1: x % M == x & MASK for non-negative x
+
+
+def _and_m(e: str) -> str:
+    """``(e) & (2^31 - 1)`` — identical to ``(e) % 2^31`` for the RNG's
+    non-negative intermediates, but a single bitwise AND instead of a 64-bit
+    modulo in JVM codegen. SPARK-SIDE ONLY: the portable renderers below are
+    the single source of truth for oracle SQL text (frozen hashes) and
+    continue to emit ``%``; the fast dialect is a bit-identical re-spelling,
+    verified by the contract tests comparing Spark results against the
+    DuckDB oracles. ``&`` binds looser than ``+``/``*`` in Spark SQL, hence
+    the full parenthesization here."""
+    return f"(({e}) & {MASK})"
+
+
 def flit(v: float) -> str:
     """Render a float literal that parses as DOUBLE in BOTH Spark SQL and
     DuckDB. Spark parses plain decimal literals (``100.0``) as DECIMAL,
@@ -76,17 +91,27 @@ def _const(tag: int, seed: int, draw: int) -> int:
     return ((seed % M) * A_SEED + (tag % M) * A_TAG + (draw % M) * A_DRAW + 1) % M
 
 
-def _t_expr(key: str, c: int, draw: str | None = None) -> str:
+def _t_expr(key: str, c: int, draw: str | None = None, fast: bool = False) -> str:
     """Affine stage with the two-prime key fold; ``draw`` optionally adds a
-    SQL-expression draw counter (attempt column)."""
+    SQL-expression draw counter (attempt column). ``fast=True`` renders the
+    final mod-2^31 as a bitwise AND (Spark-side dialect, see ``_and_m``)."""
     d = f" + (({draw}) % {M}) * {A_DRAW}" if draw is not None else ""
-    return (
-        f"(((({key}) % {P1}) * {A_KEY}"
-        f" + (({key}) % {P2}) * {A_KEY2}{d} + {c}) % {M})"
+    body = (
+        f"((({key}) % {P1}) * {A_KEY}"
+        f" + (({key}) % {P2}) * {A_KEY2}{d} + {c})"
     )
+    return _and_m(body) if fast else f"({body} % {M})"
 
 
-def _mix_sql(t: str) -> str:
+def _mix_sql(t: str, fast: bool = False) -> str:
+    if fast:
+        h1 = _and_m(
+            f"{_and_m(f'({t}) * ({t})')} + {_and_m(f'({t}) * {B1}')} + {C1}"
+        )
+        h2 = _and_m(
+            f"{_and_m(f'({h1}) * ({h1})')} + {_and_m(f'({h1}) * {B2}')} + {C2}"
+        )
+        return f"(({h2}) / {flit(M)})"
     h1 = f"(({t}) * ({t}) % {M} + ({t}) * {B1} % {M} + {C1}) % {M}"
     h2 = f"(({h1}) * ({h1}) % {M} + ({h1}) * {B2} % {M} + {C2}) % {M}"
     return f"(({h2}) / {flit(M)})"
@@ -108,13 +133,23 @@ def u_sql(key: str, tag: int, seed: int, draw: int | str = 0) -> str:
     return _mix_sql(_t_expr(key, _const(tag, seed, draw)))
 
 
-def t_sql(key: str, tag: int, seed: int, draw: int | str = 0) -> str:
+def u_sql_fast(key: str, tag: int, seed: int, draw: int | str = 0) -> str:
+    """Spark-side fast dialect of :func:`u_sql`: identical integer sequence
+    with the mod-2^31 stages rendered as bitwise ANDs (see ``_and_m``).
+    NEVER use in oracle SQL — the portable renderer is the frozen one."""
+    if isinstance(draw, str):
+        return _mix_sql(_t_expr(key, _const(tag, seed, 0), draw, fast=True), fast=True)
+    return _mix_sql(_t_expr(key, _const(tag, seed, draw), fast=True), fast=True)
+
+
+def t_sql(key: str, tag: int, seed: int, draw: int | str = 0, fast: bool = False) -> str:
     """Stage-1 (affine) value as a SQL expression — compute it once as a
     CTE column named e.g. ``t1``, then apply ``u_from_t_sql('t1')``.
-    ``draw`` may be a SQL expression, as in ``u_sql``."""
+    ``draw`` may be a SQL expression, as in ``u_sql``. ``fast=True`` is the
+    Spark-side AND dialect (oracle SQL must keep the default)."""
     if isinstance(draw, str):
-        return _t_expr(key, _const(tag, seed, 0), draw)
-    return _t_expr(key, _const(tag, seed, draw))
+        return _t_expr(key, _const(tag, seed, 0), draw, fast=fast)
+    return _t_expr(key, _const(tag, seed, draw), fast=fast)
 
 
 def u_from_t_sql(t: str) -> str:

@@ -33,6 +33,55 @@ def dist_sql(x1: str, y1: str, x2: str, y2: str) -> str:
     )
 
 
+def pruned_ring_sql(x: str, y: str, cs: float, n_sql: str, r_sql: str) -> str:
+    """Cell-id array for the neighbor ring around (x, y), PRUNED to cells
+    whose minimum distance to the point is provably <= the radius.
+
+    The square (2n+1)² ring guarantees coverage but over-fetches: a disk of
+    radius r covers ~pi/4 of its bounding square, and when r is just above
+    a cell multiple the square ring fetches the next full shell while the
+    disk clips only its corners. Per candidate cell (dx, dy), the exact
+    min distance from the point to the cell's closed region is
+    sqrt(mx² + my²) with mx = dx>0 ? dx*cs - fx : dx<0 ? (-dx-1)*cs + fx : 0
+    (fx = x - floor(x/cs)*cs, the point's offset inside its own cell);
+    cells with mx² + my² > r² cannot contain a within-r partner, so
+    dropping them can never change the post-distance-filter pair set. The
+    comparison carries 1e-9 relative + absolute slack so float rounding in
+    the bound can only ever KEEP a boundary cell, never prune one — the
+    exactness proof does not depend on the bound's rounding. Measured at
+    sf0.1 this cuts candidate pairs ~1.8x on the per-row-radius
+    k-verification ring (small radii prune whole shells) and ~10-20% on
+    fixed rings (corner cells only).
+    """
+    base = cells.cell_sql(x, y, cs)
+    fx = f"(({x}) - floor(({x}) / {flit(cs)}) * {flit(cs)})"
+    fy = f"(({y}) - floor(({y}) / {flit(cs)}) * {flit(cs)})"
+    mx = (
+        f"CASE WHEN dx > 0 THEN CAST(dx AS DOUBLE) * {flit(cs)} - {fx}"
+        f" WHEN dx < 0 THEN CAST(-dx - 1 AS DOUBLE) * {flit(cs)} + {fx}"
+        f" ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    my = (
+        f"CASE WHEN dy > 0 THEN CAST(dy AS DOUBLE) * {flit(cs)} - {fy}"
+        f" WHEN dy < 0 THEN CAST(-dy - 1 AS DOUBLE) * {flit(cs)} + {fy}"
+        f" ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    import os
+
+    if os.environ.get("SPARK_GRAFT_RING_PRUNE", "1") == "0":
+        # experiment kill-switch (BENCH/exp_r06.py A/Bs candidate volume):
+        # an always-true bound keeps the full square ring
+        rr = "1.0E308"
+    else:
+        rr = f"(({r_sql}) * ({r_sql}) * 1.000000001E0 + 1.0E-9)"
+    return (
+        f"flatten(transform(sequence(-({n_sql}), ({n_sql})), dx -> "
+        f"transform(filter(sequence(-({n_sql}), ({n_sql})), dy -> "
+        f"({mx}) * ({mx}) + ({my}) * ({my}) <= {rr}), "
+        f"dy -> ({base}) + dx * {cells.CELL_K} + dy)))"
+    )
+
+
 def distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -49,6 +98,7 @@ def distance_join(
     explode_side: str = "right",
     left_radius_col: str | None = None,
     right_cell_col: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Inner join of all (left, right) pairs with distance <= radius.
 
@@ -76,13 +126,8 @@ def distance_join(
     """
     if left_radius_col is not None:
         cs = float(cs or radius / 2.0)
-        base = cells.cell_sql(lx, ly, cs)
         ring_n = f"CAST(ceil(({left_radius_col}) / {flit(cs)}) AS BIGINT)"
-        ringlist = (
-            f"flatten(transform(sequence(-{ring_n}, {ring_n}), dx -> "
-            f"transform(sequence(-{ring_n}, {ring_n}), dy -> "
-            f"({base}) + dx * {cells.CELL_K} + dy)))"
-        )
+        ringlist = pruned_ring_sql(lx, ly, cs, ring_n, left_radius_col)
         lt = left.withColumn("_cell", F.explode(F.expr(ringlist)))
         # right_cell_col = the 100 TB dimension pattern: a stored address/
         # node table persists its cell index once (cells.cell_sql at the
@@ -106,6 +151,26 @@ def distance_join(
         if broadcast_right:
             rt = F.broadcast(rt)
         d = F.expr(dist_sql(lx, ly, rx, ry))
+        if how == "left":
+            # LEFT OUTER with the distance predicate inside the join
+            # condition: every probe row survives (right side null when no
+            # within-radius partner), so counting consumers need no
+            # join-back / union branch to represent zero-neighbor rows —
+            # ``count(right_key)`` is exact. One exploded row per probe
+            # cell still, but unmatched rows cost less than re-deriving
+            # the left table a second time (see analysis.k_anonymity_address
+            # slim; measured 2.44 -> 1.65 s at sf0.1).
+            cond = None
+            for c in on:
+                eq = lt[c] == rt[c]
+                cond = eq if cond is None else (cond & eq)
+            cond = cond & (d <= lt[left_radius_col])
+            joined = lt.join(rt, cond, "left").drop(rt["_cell"])
+            if salt > 1:
+                joined = joined.drop(rt["_salt"])
+            return (
+                joined.withColumn(dist_col, d).drop("_cell", "_salt")
+            )
         return (
             lt.join(rt, on=on)
             .where(d <= F.col(left_radius_col))
@@ -115,20 +180,21 @@ def distance_join(
 
     cs = float(cs or radius)
     ring = cells.ring_for_radius(radius, cs)
-    offs = cells.ring_offsets(ring)
 
     lcell = F.expr(cells.cell_sql(lx, ly, cs))
     rcell = F.expr(cells.cell_sql(rx, ry, cs))
 
     if explode_side == "left":
         lt = left.withColumn(
-            "_cell", F.explode(F.array(*[lcell + F.lit(o) for o in offs]))
+            "_cell",
+            F.explode(F.expr(pruned_ring_sql(lx, ly, cs, str(ring), flit(radius)))),
         )
         rt = right.withColumn("_cell", rcell)
     else:
         lt = left.withColumn("_cell", lcell)
         rt = right.withColumn(
-            "_cell", F.explode(F.array(*[rcell + F.lit(o) for o in offs]))
+            "_cell",
+            F.explode(F.expr(pruned_ring_sql(rx, ry, cs, str(ring), flit(radius)))),
         )
     if salt > 1:
         # Explicit hot-cell salting: scatter the (large) probe side across

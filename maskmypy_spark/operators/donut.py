@@ -30,7 +30,9 @@ def _apply_stages(df: DataFrame, stages: list[tuple[str, str]]) -> DataFrame:
 
 
 def _offsets(df, key, low, high, seed, distribution, attempt, x, y) -> DataFrame:
-    stages = masksql.donut_stages(key, low, high, seed, distribution, attempt)
+    # fast=True: Spark-side AND dialect for the mod-2^31 stages (bit-equal
+    # integers, cheaper codegen); the oracle CTEs keep the portable text.
+    stages = masksql.donut_stages(key, low, high, seed, distribution, attempt, fast=True)
     out = _apply_stages(df, stages)
     out = out.withColumn(x, F.expr(f"{x} + _offx")).withColumn(y, F.expr(f"{y} + _offy"))
     return out.drop(*masksql.donut_temp_cols(stages))
@@ -120,7 +122,7 @@ def donut(
         att = remaining.withColumn(
             "_att", F.explode(F.array(*[F.lit(a0 + i) for i in range(blk)]))
         )
-        stages = masksql.donut_stages(key, low, high, seed, distribution, attempt="_att")
+        stages = masksql.donut_stages(key, low, high, seed, distribution, attempt="_att", fast=True)
         cand = _apply_stages(att, stages)
         cand = (
             cand.withColumn("_mx", F.expr(f"{x} + _offx"))
@@ -147,7 +149,7 @@ def donut(
             .agg(F.min("_att").alias("_batt"))
         )
         resolved = remaining.join(ok, key, "inner")
-        rstages = masksql.donut_stages(key, low, high, seed, distribution, attempt="_batt")
+        rstages = masksql.donut_stages(key, low, high, seed, distribution, attempt="_batt", fast=True)
         resolved = (
             _apply_stages(resolved, rstages)
             .withColumn(x, F.expr(f"{x} + _offx"))

@@ -60,6 +60,32 @@ def _argmin_pick(cand: DataFrame, d, key: str, okey: str, max_d: float) -> DataF
     )
 
 
+def _argmin_pick_coords(
+    cand: DataFrame, d, key: str, okey: str, ox: str, oy: str, max_d: float
+) -> DataFrame:
+    """:func:`_argmin_pick` + the winner's coordinates out of the SAME
+    HashAggregate: ``min_by(ox, _pk)`` / ``min_by(oy, _pk)`` ride the
+    packed-BIGINT ordering key with map-side ``partial_min_by`` combining
+    (still no sort anywhere), so the per-round equi-join back to the
+    neighbor table to recover (ox, oy) — a fact-sized join on the self-join
+    paths — disappears. The packed key embeds ``okey``, so it is unique per
+    candidate pair and min_by is deterministic; the recovered coordinates
+    are the candidate row's own ox/oy, bit-identical to what the join-back
+    produced. Same preconditions as :func:`_argmin_pick`."""
+    s = float((_PACK // 2 - 1) / max_d)
+    q = F.floor(d * F.lit(s)).cast("long")
+    return (
+        cand.withColumn("_pk", q * F.lit(_PACK) + F.col(okey))
+        .groupBy(key)
+        .agg(
+            F.min("_pk").alias("_pk"),
+            F.expr(f"min_by({ox}, _pk)").alias(ox),
+            F.expr(f"min_by({oy}, _pk)").alias(oy),
+        )
+        .select(key, (F.col("_pk") % F.lit(_PACK)).alias(okey), ox, oy)
+    )
+
+
 def _salt_cell_join(lt, rt, x, y, salt, broadcast_others, extra_on=()):
     """Join the cell-tagged sides, optionally scattering hot cells: the
     probe side hashes into ``salt`` sub-keys, the build side replicates
@@ -243,9 +269,10 @@ def nearest_neighbor(
         cand = _salt_cell_join(lt, rt, x, y, salt, broadcast_others, extra_on)
         if exclude_self:
             cand = cand.where(F.col(okey) != F.col(key))
-        # candidate distance this round is < 3*cs (3x3 neighborhood bound)
-        pick = _argmin_pick(cand, d, key, okey, 3.0 * cs)
-        picked = pick.join(others.select(okey, ox, oy), okey)
+        # candidate distance this round is < 3*cs (3x3 neighborhood bound);
+        # the pick aggregate carries the winner's coordinates via min_by,
+        # so no join-back to ``others`` is needed.
+        picked = _argmin_pick_coords(cand, d, key, okey, ox, oy, 3.0 * cs)
         # ONE join + ONE checkpoint per round: left-join the winner (with
         # coordinates), recompute the EXACT distance on the joined row
         # (null when no candidate), materialize, then split by filter on
@@ -292,8 +319,7 @@ def nearest_neighbor(
                 cand = cand.where(F.col(group) == F.col("_og")).drop("_og")
             if exclude_self:
                 cand = cand.where(F.col(okey) != F.col(key))
-            pick = _argmin_pick(cand, d, key, okey, diag)
-            picked = pick.join(others.select(okey, ox, oy), okey)
+            picked = _argmin_pick_coords(cand, d, key, okey, ox, oy, diag)
             parts.append(
                 remaining.join(picked, key, "inner").withColumn("nn_dist", d)
             )

@@ -60,46 +60,68 @@ def locationswap(
     meta.validate_point_layer(address, akey, ax, ay)
     meta.validate_crs((df, x), (address, ax))     # reference tools.py:172-180
 
+    # Probe-side explode (explode_side="left"): the address dimension stays
+    # ONE row per cell, so a planner/explicit broadcast builds the minimal
+    # hash relation and — at scale — a stored/bucketed address table scans
+    # exchange-free while only the exploded probe side moves (the shape
+    # BENCH/exp_bucketed.py measured fastest and most stable at 32 cores).
+    # Exploding the dimension instead multiplies the build side ring² times.
+    # cs = high/2 roughly halves candidate pairs vs the 1-ring cs=high
+    # default (pi*(r + 0.6cs)² candidate area shrinks toward the disk), at
+    # the cost of a (2*ceil(r/cs)+1)²-cell probe explode — measured optimum
+    # at bench scale (BENCH/exp_r06.py: cs sweep 500/250/167).
+    from ..functions import rng as _rng
+    from ..functions.masksql import swap_pick_parts
+
+    # Pre-staged pick-key halves: each side's two-prime fold is a projection
+    # over ITS OWN table (points before the ring explode, addresses before
+    # the join), so the per-candidate-pair key build drops from four
+    # mod-mul folds to one BIGINT add (exact and order-independent in
+    # int64 — bit-identical to the inline swap_pick_key the oracle keeps).
+    pp, ap = swap_pick_parts(key, akey)
     cand = distance_join(
-        df.select(key, x, y), address.select(akey, ax, ay), radius=high,
-        lx=x, ly=y, rx=ax, ry=ay, salt=salt,
+        df.select(key, x, y).withColumn("_swp", F.expr(pp)),
+        address.select(akey, ax, ay).withColumn("_swa", F.expr(ap)),
+        radius=high,
+        lx=x, ly=y, rx=ax, ry=ay, salt=salt, cs=float(high) / 2.0,
+        explode_side="left",
     ).where(F.col("dist") > float(low))
     # Micro-staged hash (same trick as the donut stages): the inlined
     # one-expression rendering blows whole-stage codegen's method limit on
     # the joined row (interpreted fallback is ~30x slower on the hot join);
-    # three tiny columns execute the identical arithmetic.
-    from ..functions import rng as _rng
-    from ..functions.masksql import swap_pick_key
-
+    # three tiny columns execute the identical arithmetic, in the Spark-side
+    # AND dialect (rng._and_m — bit-equal, cheaper codegen).
     PACK = 1 << 32
+    _A = _rng._and_m
     cand = (
         cand.withColumn(
-            "_t", F.expr(_rng.t_sql(swap_pick_key(key, akey), _rng.TAG_SWAP, seed))
+            "_t", F.expr(_rng.t_sql("_swp + _swa", _rng.TAG_SWAP, seed, fast=True))
         )
         .withColumn(
             "_g",
-            F.expr(
-                f"(_t * _t % {_rng.M} + _t * {_rng.B1} % {_rng.M} + {_rng.C1}) % {_rng.M}"
-            ),
+            F.expr(_A(f"{_A('_t * _t')} + {_A(f'_t * {_rng.B1}')} + {_rng.C1}")),
         )
         .withColumn(
             "_h2",
-            F.expr(
-                f"(_g * _g % {_rng.M} + _g * {_rng.B2} % {_rng.M} + {_rng.C2}) % {_rng.M}"
-            ),
+            F.expr(_A(f"{_A('_g * _g')} + {_A(f'_g * {_rng.B2}')} + {_rng.C2}")),
         )
     )
+    # min_by rides the SAME packed-BIGINT ordering key in the SAME
+    # HashAggregate (partial_min_by map-side combines like partial_min), so
+    # the winner's coordinates come out of the pick aggregate itself — the
+    # equi-join back to the address dimension (one broadcast build + probe
+    # per query; a full dimension join at 100 TB) disappears. The packed key
+    # is unique per (point, address) candidate (it embeds akey), so min_by
+    # is deterministic; the coordinates are the candidate row's own ax/ay —
+    # bit-identical to the values the join-back recovered.
     picked = (
-        cand.groupBy(key)
-        .agg(F.min(F.col("_h2") * F.lit(PACK) + F.col(akey)).alias("_pk"))
-        .select(key, (F.col("_pk") % F.lit(PACK)).alias("_pick_aid"))
+        cand.withColumn("_pk", F.col("_h2") * F.lit(PACK) + F.col(akey))
+        .groupBy(key)
+        .agg(
+            F.expr(f"min_by({ax}, _pk)").alias("_swap_x"),
+            F.expr(f"min_by({ay}, _pk)").alias("_swap_y"),
+        )
     )
-    addr_dim = address.select(
-        F.col(akey).alias("_pick_aid"),
-        F.col(ax).alias("_swap_x"),
-        F.col(ay).alias("_swap_y"),
-    )
-    picked = picked.join(addr_dim, "_pick_aid").select(key, "_swap_x", "_swap_y")
     out = df.join(picked, key, "left")
     out = (
         out.withColumn("UNMASKED", F.when(F.col("_swap_x").isNull(), 1).otherwise(0))
