@@ -246,6 +246,15 @@ def k_anonymity_address(
     (ideally bucketed on it, sources/bucketed.py) joins exchange-free on
     the build side. See distance_join(right_cell_col=).
     """
+    if addr_cell_col is not None and cs is None:
+        # A stored cell index is only valid at the cell size it was built
+        # with; letting cs default silently (radius / 2 inside
+        # distance_join) would join on MISMATCHED grids and undercount k —
+        # a silent privacy-metric error, so refuse loudly (ADVICE r05 #1).
+        raise ValueError(
+            "addr_cell_col requires cs= pinned to the cell size the stored "
+            "index was computed at (cells.cell_sql(ax, ay, cs))."
+        )
     if disp is not None:
         cand = disp.withColumnRenamed("_distance", "_radius")
     else:

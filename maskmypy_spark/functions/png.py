@@ -183,7 +183,9 @@ def _extract_samples(
     rows: np.ndarray, width: int, depth: int, channels: int
 ) -> np.ndarray:
     """(h, w_bytes) unfiltered bytes -> (h, width, channels) int32 samples
-    (unscaled; 16-bit reduced to the high byte here)."""
+    (unscaled; depth 16 keeps the FULL 16-bit value — reduction to the
+    display byte happens in _samples_to_rgb, AFTER color-key matching, so a
+    third-party 16-bit key compares all 16 bits, ADVICE r05 #3)."""
     h = rows.shape[0]
     if depth == 8:
         return (
@@ -192,11 +194,10 @@ def _extract_samples(
             .astype(np.int32)
         )
     if depth == 16:
+        pairs = rows[:, : width * channels * 2].astype(np.int32)
         return (
-            rows[:, : width * channels * 2][:, ::2]
-            .reshape(h, width, channels)
-            .astype(np.int32)
-        )
+            (pairs[:, ::2] << 8) | pairs[:, 1::2]
+        ).reshape(h, width, channels)
     # 1/2/4-bit: single channel only (gray or palette index), MSB first
     bits = np.unpackbits(rows, axis=1)[:, : width * depth].reshape(
         h, width, depth
@@ -255,12 +256,13 @@ def _samples_to_rgb(
 ) -> np.ndarray:
     """Assembled raw samples -> canonical uint8 RGB (alpha over white).
 
-    ``samples`` is already 8-bit-reduced for depth 16; ``trns`` carries
-    tRNS payload semantics per color type (16-bit sample values for
-    color-key types — compared against the PRE-reduction value is not
-    possible post-reduction, so the spec-16-bit key's high byte is used;
-    exact for all engine-written streams and for the universal 8-bit-
-    in-16-bit-container case key = k*257)."""
+    ``samples`` carries FULL-precision values for depth 16; the color-key
+    comparison happens on the full 16 bits (spec semantics — exact for any
+    third-party stream, ADVICE r05 #3), then values reduce to the display
+    high byte (exact for the engine's k*257 round-trip values)."""
+    full = samples
+    if depth == 16:
+        samples = samples >> 8
     h, w = samples.shape[:2]
     if ctype == 3:
         if palette is None:
@@ -279,9 +281,8 @@ def _samples_to_rgb(
         rgb = np.repeat(g[:, :, None], 3, axis=2)
         if trns and len(trns) >= 2:
             key = struct.unpack(">H", trns[:2])[0]
-            key8 = (key >> 8) if depth == 16 else key
             alpha = np.where(
-                samples[:, :, 0] == key8, 0, 255
+                full[:, :, 0] == key, 0, 255
             ).astype(np.int64)
             return _composite_white(rgb, alpha)
         return rgb
@@ -289,12 +290,10 @@ def _samples_to_rgb(
         rgb = samples.astype(np.uint8)
         if trns and len(trns) >= 6:
             kr, kg, kb = struct.unpack(">HHH", trns[:6])
-            if depth == 16:
-                kr, kg, kb = kr >> 8, kg >> 8, kb >> 8
             hit = (
-                (samples[:, :, 0] == kr)
-                & (samples[:, :, 1] == kg)
-                & (samples[:, :, 2] == kb)
+                (full[:, :, 0] == kr)
+                & (full[:, :, 1] == kg)
+                & (full[:, :, 2] == kb)
             )
             return _composite_white(rgb, np.where(hit, 0, 255))
         return rgb

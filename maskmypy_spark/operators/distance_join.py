@@ -182,15 +182,29 @@ def distance_join(
     ring = cells.ring_for_radius(radius, cs)
 
     lcell = F.expr(cells.cell_sql(lx, ly, cs))
-    rcell = F.expr(cells.cell_sql(rx, ry, cs))
 
     if explode_side == "left":
         lt = left.withColumn(
             "_cell",
             F.explode(F.expr(pruned_ring_sql(lx, ly, cs, str(ring), flit(radius)))),
         )
-        rt = right.withColumn("_cell", rcell)
+        # stored-dimension pattern (ADVICE r05 #2 — previously only the
+        # per-row-radius path honored this): the build side's persisted
+        # cell index (cells.cell_sql at the SAME cs — caller owns cs
+        # agreement) joins without re-tagging, and a cell-bucketed table
+        # scans exchange-free.
+        rt = (
+            right.withColumnRenamed(right_cell_col, "_cell")
+            if right_cell_col
+            else right.withColumn("_cell", F.expr(cells.cell_sql(rx, ry, cs)))
+        )
     else:
+        if right_cell_col:
+            raise ValueError(
+                "right_cell_col requires the compact-dimension shape "
+                "(explode_side='left' or left_radius_col=): a stored single "
+                "cell id cannot seed the exploding side's neighbor ring."
+            )
         lt = left.withColumn("_cell", lcell)
         rt = right.withColumn(
             "_cell",

@@ -19,7 +19,21 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import cells
-from .distance_join import dist_sql
+from ..functions.rng import flit
+from .distance_join import dist_sql, pruned_ring_sql
+
+
+def _ring1_pruned(x: str, y: str, cs: float):
+    """The 3x3 neighbor ring around (x, y), pruned to cells whose min
+    distance to the point is <= cs (distance_join.pruned_ring_sql). Safe
+    for the escalation loops: a neighbor in a pruned cell is farther than
+    cs, so it could never satisfy the round's convergence proof
+    (nn_dist <= cs resp. k-th distance <= cs) — points whose best candidate
+    lives in a pruned cell escalate in both variants, and converged
+    winners/top-k lists are within cs, hence in kept cells. Drops the
+    corner cells with probability 1 - pi/4 each (~10% fewer candidate
+    pairs, measured at sf0.1)."""
+    return F.explode(F.expr(pruned_ring_sql(x, y, cs, "1", flit(cs))))
 
 
 _PACK = 1 << 32
@@ -86,13 +100,21 @@ def _argmin_pick_coords(
     )
 
 
-def _salt_cell_join(lt, rt, x, y, salt, broadcast_others, extra_on=()):
+def _salt_cell_join(lt, rt, x, y, salt, broadcast_others, extra_on=(), broadcast_left=False):
     """Join the cell-tagged sides, optionally scattering hot cells: the
     probe side hashes into ``salt`` sub-keys, the build side replicates
     once per sub-key — one dense cluster (a city) then spreads over
     ``salt`` reducers instead of one (north rule; same machinery as
     distance_join.py). AQE skew-join remains the adaptive backstop.
-    ``extra_on`` columns (e.g. a group/side key) join alongside the cell."""
+    ``extra_on`` columns (e.g. a group/side key) join alongside the cell.
+
+    ``broadcast_left=True`` is the BOUNDED-RESIDUE escalation path: the
+    caller has COUNTED the probe side (a driver-side bound, like street's
+    max_graph_nodes — never a planner estimate) and knows the exploded
+    residue is tiny, so broadcasting it lets the full neighbor table
+    stream map-side instead of re-shuffling + re-sorting per escalation
+    round (at 100 TB that re-shuffle is a full pass over the fact table
+    per round)."""
     if salt > 1:
         lt = lt.withColumn("_sk", (F.xxhash64(x, y) % salt + salt) % salt)
         rt = rt.withColumn(
@@ -103,6 +125,8 @@ def _salt_cell_join(lt, rt, x, y, salt, broadcast_others, extra_on=()):
         on = ["_cell", *extra_on]
     if broadcast_others:
         rt = F.broadcast(rt)
+    elif broadcast_left:
+        lt = F.broadcast(lt)
     else:
         # Catalyst's sizeInBytes for the probe side IGNORES the 9x cell
         # explode, so a mid-size self-join sneaks under the session's 64 MB
@@ -148,6 +172,7 @@ def knn_join(
     broadcast_others: bool = False,
     max_rounds: int = 12,
     salt: int = 0,
+    residue_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact k-nearest-neighbors join (k rows per point, rank 1..k) by the
     same ring-escalation proof as ``nearest_neighbor``: a point's top-k is
@@ -167,6 +192,7 @@ def knn_join(
     d = F.expr(dist_sql(x, y, ox, oy))
     parts: list[DataFrame] = []
     remaining = points
+    bcast_residue = False
     for rnd in range(max_rounds + 1):
         final_round = rnd == max_rounds
         if final_round:
@@ -175,14 +201,13 @@ def knn_join(
                 F.broadcast(others) if broadcast_others else others
             )
         else:
-            lcell = F.expr(cells.cell_sql(x, y, cs))
             rcell = F.expr(cells.cell_sql(ox, oy, cs))
-            lt = remaining.withColumn(
-                "_cell",
-                F.explode(F.array(*[lcell + F.lit(o) for o in cells.ring_offsets(1)])),
-            )
+            lt = remaining.withColumn("_cell", _ring1_pruned(x, y, cs))
             rt = others.withColumn("_cell", rcell)
-            cand = _salt_cell_join(lt, rt, x, y, salt, broadcast_others)
+            cand = _salt_cell_join(
+                lt, rt, x, y, salt, broadcast_others,
+                broadcast_left=bcast_residue,
+            )
         if exclude_self:
             cand = cand.where(F.col(okey) != F.col(key))
         w = Window.partitionBy(key).orderBy("_d", okey)
@@ -197,23 +222,34 @@ def knn_join(
                 F.col("_d").alias("nn_dist"), F.col("_rank").alias("rank"),
             ))
             break
-        # converged iff the point HAS k candidates and its k-th dist <= cs
-        kth = topk.groupBy(key).agg(
-            F.max("_d").alias("_kd"), F.count(F.lit(1)).alias("_kn")
-        )
-        done_keys = kth.where(
-            (F.col("_kn") == k) & (F.col("_kd") <= F.lit(float(cs)))
-        ).select(key)
-        resolved = topk.join(done_keys, key, "left_semi").select(
-            key, F.col(okey), F.col(ox), F.col(oy),
-            F.col("_d").alias("nn_dist"), F.col("_rank").alias("rank"),
+        # converged iff the point HAS k candidates and its k-th dist <= cs.
+        # Both facts come from window aggregates over the SAME (key)
+        # partitioning the rank window established (the sort by (key, _d,
+        # okey) satisfies the unordered window's requirement), so the
+        # former per-round groupBy + semi-join — which re-executed the
+        # whole candidate pipeline a second time for the anti-join's
+        # lineage — collapses into the one windowed pass (VERDICT r05 #6).
+        wk = Window.partitionBy(key)
+        resolved = (
+            topk.withColumn("_kn", F.count(F.lit(1)).over(wk))
+            .withColumn("_kd", F.max("_d").over(wk))
+            .where((F.col("_kn") == k) & (F.col("_kd") <= F.lit(float(cs))))
+            .select(
+                key, F.col(okey), F.col(ox), F.col(oy),
+                F.col("_d").alias("nn_dist"), F.col("_rank").alias("rank"),
+            )
         )
         parts.append(resolved.localCheckpoint(eager=True))
-        remaining = remaining.join(done_keys, key, "left_anti").localCheckpoint(
-            eager=True
-        )
-        if remaining.isEmpty():
+        # anti-join against the CHECKPOINTED resolved keys — no recompute
+        remaining = remaining.join(
+            parts[-1].select(key), key, "left_anti"
+        ).localCheckpoint(eager=True)
+        # counted residue -> broadcast the exploded residue next round (see
+        # nearest_neighbor): no full re-shuffle of `others` per escalation
+        n_rem = remaining.count()
+        if n_rem == 0:
             break
+        bcast_residue = 9 * n_rem <= residue_broadcast_rows
         cs *= 3.0
 
     out = parts[0]
@@ -237,6 +273,7 @@ def nearest_neighbor(
     max_rounds: int = 12,
     salt: int = 0,
     group: str | None = None,
+    residue_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """points + (okey, ox, oy, nn_dist) of each point's exact nearest other.
 
@@ -259,14 +296,15 @@ def nearest_neighbor(
     d = F.expr(dist_sql(x, y, ox, oy))
     parts: list[DataFrame] = []
     remaining = points
+    bcast_residue = False
     for _ in range(max_rounds):
-        lcell = F.expr(cells.cell_sql(x, y, cs))
         rcell = F.expr(cells.cell_sql(ox, oy, cs))
-        lt = remaining.withColumn(
-            "_cell", F.explode(F.array(*[lcell + F.lit(o) for o in cells.ring_offsets(1)]))
-        )
+        lt = remaining.withColumn("_cell", _ring1_pruned(x, y, cs))
         rt = others.withColumn("_cell", rcell)
-        cand = _salt_cell_join(lt, rt, x, y, salt, broadcast_others, extra_on)
+        cand = _salt_cell_join(
+            lt, rt, x, y, salt, broadcast_others, extra_on,
+            broadcast_left=bcast_residue,
+        )
         if exclude_self:
             cand = cand.where(F.col(okey) != F.col(key))
         # candidate distance this round is < 3*cs (3x3 neighborhood bound);
@@ -287,8 +325,15 @@ def nearest_neighbor(
         remaining = marked.where(
             F.col("nn_dist").isNull() | (F.col("nn_dist") > F.lit(float(cs)))
         ).select(*remaining.columns)
-        if remaining.isEmpty():
+        # COUNT (not estimate) the residue: escalation rounds over a tiny
+        # unconverged set broadcast the exploded residue instead of
+        # re-shuffling + re-sorting the full neighbor table every round.
+        # The count reads the checkpointed `marked`, so it is one cheap
+        # local scan; the 9x ring explode is accounted for in the bound.
+        n_rem = remaining.count()
+        if n_rem == 0:
             break
+        bcast_residue = 9 * n_rem <= residue_broadcast_rows
         cs *= 3.0
     else:
         # Termination fallback: brute-force the (tiny) residue; the pack

@@ -167,15 +167,52 @@ def test_nearest_neighbor_cell_join_never_broadcasts_fact_sides(spark, monkeypat
             if "Join" in ln and "_cell" in ln
         ]
 
+    from maskmypy_spark.operators.knn import nearest_neighbor
+
     pts = spark.createDataFrame(fixtures.sensitive_points_pdf(200, seed=42))
-    lines = _cell_join_lines(voronoi(pts, cs=1000.0))
+    others = pts.selectExpr("pid AS nn_id", "x AS nn_x", "y AS nn_y")
+
+    # with the bounded-residue escalation DISABLED, every cell join (all
+    # rounds) must stay sort-merge at any size estimate — the original r4
+    # gate, unchanged
+    lines = _cell_join_lines(
+        nearest_neighbor(
+            pts, others, cs=1000.0, exclude_self=True, residue_broadcast_rows=0
+        )
+    )
     assert lines, "no cell join found in plan"
     assert all("SortMergeJoin" in ln for ln in lines), lines
 
-    others = pts.selectExpr("pid AS nn_id", "x AS nn_x", "y AS nn_y")
-    lines = _cell_join_lines(knn_join(pts, others, k=2, cs=1000.0, exclude_self=True))
+    # default path: round 1 (the UNBOUNDED fact x fact join — printed first,
+    # parts are unioned in round order) must still be sort-merge; later
+    # rounds MAY broadcast because the driver has COUNTED the residue under
+    # residue_broadcast_rows (a bound, not a planner estimate), and results
+    # must be identical either way
+    lines = _cell_join_lines(voronoi(pts, cs=1000.0))
+    assert lines, "no cell join found in plan"
+    assert "SortMergeJoin" in lines[0], lines
+    assert all("NestedLoop" not in ln for ln in lines), lines
+    a = {tuple(r) for r in voronoi(pts, cs=1000.0).collect()}
+    b = {
+        tuple(r)
+        for r in nearest_neighbor(
+            pts, others, cs=1000.0, exclude_self=True, residue_broadcast_rows=0
+        )
+        .select("pid")
+        .collect()
+    }
+    assert len(a) == 200 and {r[0] for r in a} == {r[0] for r in b}
+
+    lines = _cell_join_lines(
+        knn_join(
+            pts, others, k=2, cs=1000.0, exclude_self=True,
+            residue_broadcast_rows=0,
+        )
+    )
     assert lines, "no cell join found in plan"
     assert all("SortMergeJoin" in ln for ln in lines), lines
+    lines = _cell_join_lines(knn_join(pts, others, k=2, cs=1000.0, exclude_self=True))
+    assert lines and "SortMergeJoin" in lines[0], lines
 
     # the explicit dimension path still broadcasts when the caller asks
     lines = _cell_join_lines(

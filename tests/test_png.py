@@ -276,6 +276,39 @@ def test_trns_color_key_gray_and_rgb():
     assert np.array_equal(out[0, 1], [1, 2, 4])
 
 
+def test_trns_color_key_depth16_full_16bit_compare():
+    """ADVICE r05 #3: a 16-bit color key must compare ALL 16 bits — a pixel
+    matching only the key's high byte stays OPAQUE. (Before the fix the
+    reduced high-byte compare wrongly composited it transparent.) Exact
+    k*257 matches still go transparent."""
+    key = 0x0102
+    # gray16: pixel 0x0103 shares the key's high byte but differs in the low
+    g16 = np.array([[0x0102, 0x0103]], dtype=np.int64)
+    out = png.decode(
+        png.encode_ex(g16, color_type=0, depth=16, trns=struct.pack(">H", key))
+    )
+    assert (out[0, 0] == 255).all()            # exact 16-bit match -> white
+    assert (out[0, 1] == 0x01).all()           # high-byte-only match -> opaque
+    # rgb16 analogue
+    img = np.array(
+        [[[0x0102, 0x0203, 0x0304], [0x0102, 0x0203, 0x0305]]], dtype=np.int64
+    )
+    out = png.decode(
+        png.encode_ex(
+            img, color_type=2, depth=16,
+            trns=struct.pack(">HHH", 0x0102, 0x0203, 0x0304),
+        )
+    )
+    assert (out[0, 0] == 255).all()
+    assert np.array_equal(out[0, 1], [0x01, 0x02, 0x03])
+    # engine-written k*257 streams: unchanged semantics
+    g = np.array([[7, 8]], dtype=np.uint8).astype(np.int64) * 257
+    out = png.decode(
+        png.encode_ex(g, color_type=0, depth=16, trns=struct.pack(">H", 7 * 257))
+    )
+    assert (out[0, 0] == 255).all() and (out[0, 1] == 8).all()
+
+
 def test_palette_trns_partial_alpha():
     pal = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
     idx = np.array([[0, 1]], dtype=np.uint8)
