@@ -117,15 +117,26 @@ def curate(
     compare on the 6 dp-rounded metrics (the same values returned), so
     boundary behavior is engine-exact. Returns the surviving keeper rows
     as (key, alpha_ratio, dup_ngram_frac)."""
-    from pyspark.sql.window import Window
-
     gated = _quality_gated(
         df, key, text, max_repetition, min_alpha, n, sample_rate, seed
     )
-    w = Window.partitionBy(F.md5(F.col(text)))
+    # Keeper election as ONE digest-keyed HashAggregate: the previous
+    # Window(min over md5(text)) shuffled AND sorted the full text column;
+    # projecting the digest first shuffles 32 bytes per row with map-side
+    # partial aggregation and no sort (guide §2.3: shuffle keys, not
+    # payloads). Rows sharing a digest share the text, hence identical
+    # metrics — min_by on the keeper key returns exactly the keeper row's
+    # values (deterministic: key is unique).
     return (
-        gated.withColumn("_keep", F.min(key).over(w))
-        .where(F.col(key) == F.col("_keep"))
+        gated.select(
+            key, "alpha_ratio", "dup_ngram_frac", F.md5(F.col(text)).alias("_dig")
+        )
+        .groupBy("_dig")
+        .agg(
+            F.min(key).alias(key),
+            F.expr(f"min_by(alpha_ratio, {key})").alias("alpha_ratio"),
+            F.expr(f"min_by(dup_ngram_frac, {key})").alias("dup_ngram_frac"),
+        )
         .select(key, "alpha_ratio", "dup_ngram_frac")
     )
 
@@ -219,8 +230,11 @@ def curate_near(
     )
     clusters = dedup_clusters(pairs).withColumnRenamed("doc_id", "_cd")
     csize = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_cn"))
+    # the election only needs (key, metrics) — drop the text payload before
+    # the cluster joins so the corpus text never enters their shuffles
     return (
-        gated.join(
+        gated.select(key, "alpha_ratio", "dup_ngram_frac")
+        .join(
             clusters.withColumnRenamed("_cd", key), key, "left"
         )
         .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(key)))

@@ -135,7 +135,10 @@ def image_stats(images: DataFrame, key: str = "image_id") -> DataFrame:
                 rows, columns=[key, "brightness", "contrast", "mean_r", "mean_g", "mean_b"]
             )
 
-    return images.mapInPandas(
+    # only the consumed columns cross the Arrow boundary (guide §4: Spark
+    # cannot see which columns an opaque function reads — an explicit
+    # select keeps captions/payload out of the JVM->Python transfer)
+    return images.select(key, "bytes", "fmt").mapInPandas(
         batches,
         schema=f"{key} string, brightness double, contrast double, "
         "mean_r double, mean_g double, mean_b double",

@@ -17,12 +17,12 @@ expressible as an exact SQL oracle.
 Scale note: the pick is ``min`` over ONE packed BIGINT ``h2 * 2^32 + aid``
 (h2 < 2^31 is the integer hash the uniform divides from; u = h2 / 2^31 is
 monotone in h2, so (h2, aid) lexicographic == the oracle's ORDER BY u, aid).
-``min(BIGINT)`` hash-aggregates with map-side partials; the earlier
-``min(struct(...))`` formulation forced a SortAggregate that sorted the
-entire exploded candidate set by pid (~50x slower at bench scale). The
-winning address's coordinates come from one equi-join back to the (small)
-address dimension. Precondition: 0 <= aid < 2^32 (packed key must stay
-< 2^63; (2^31-1)*2^32 + (2^32-1) == 2^63-1 exactly).
+``min_by(ax, pk)`` / ``min_by(ay, pk)`` ride the same packed BIGINT in the
+same HashAggregate with map-side partials (the earlier ``min(struct(...))``
+formulation forced a SortAggregate that sorted the entire exploded
+candidate set by pid, ~50x slower at bench scale; the earlier min+join-back
+re-joined the address dimension per query). Precondition: 0 <= aid < 2^32
+(packed key must stay < 2^63; (2^31-1)*2^32 + (2^32-1) == 2^63-1 exactly).
 """
 
 from __future__ import annotations

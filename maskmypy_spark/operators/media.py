@@ -188,7 +188,8 @@ def audio_stats(audio: DataFrame, key: str = "audio_id") -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[key, "rms", "duration_sec"])
 
-    return audio.mapInPandas(
+    # prune to the consumed columns before the Python boundary (guide §4)
+    return audio.select(key, "bytes", "sample_rate", "fmt", "n_samples").mapInPandas(
         batches, schema=f"{key} string, rms double, duration_sec double"
     )
 
@@ -292,7 +293,8 @@ def video_frame_sample(
                 rows, columns=["image_id", "bytes", "w", "h", "fmt", "phash"]
             )
 
-    return video.mapInPandas(
+    # prune to the consumed columns before the Python boundary (guide §4)
+    return video.select(key, "bytes", "w", "h", "fmt").mapInPandas(
         batches,
         schema="image_id string, bytes binary, w int, h int, fmt string, phash long",
     )
@@ -316,6 +318,9 @@ def video_stats(video: DataFrame, key: str = "video_id") -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[key, "brightness", "duration_sec"])
 
-    return video.mapInPandas(
+    # prune to the consumed columns before the Python boundary (guide §4)
+    return video.select(
+        key, "bytes", "w", "h", "fmt", "n_frames", "fps"
+    ).mapInPandas(
         batches, schema=f"{key} string, brightness double, duration_sec double"
     )
