@@ -20,20 +20,21 @@ from pyspark.sql.window import Window
 
 from ..functions import cells
 from ..functions.rng import flit
-from .distance_join import dist_sql, pruned_ring_sql
+from .distance_join import dist_sql, explode_pruned_ring
 
 
-def _ring1_pruned(x: str, y: str, cs: float):
-    """The 3x3 neighbor ring around (x, y), pruned to cells whose min
-    distance to the point is <= cs (distance_join.pruned_ring_sql). Safe
-    for the escalation loops: a neighbor in a pruned cell is farther than
-    cs, so it could never satisfy the round's convergence proof
-    (nn_dist <= cs resp. k-th distance <= cs) — points whose best candidate
-    lives in a pruned cell escalate in both variants, and converged
-    winners/top-k lists are within cs, hence in kept cells. Drops the
-    corner cells with probability 1 - pi/4 each (~10% fewer candidate
-    pairs, measured at sf0.1)."""
-    return F.explode(F.expr(pruned_ring_sql(x, y, cs, "1", flit(cs))))
+def _ring1_pruned(df: DataFrame, x: str, y: str, cs: float) -> DataFrame:
+    """``df`` + ``_cell`` exploded to the 3x3 neighbor ring around (x, y),
+    pruned to cells whose min distance to the point is <= cs
+    (distance_join.explode_pruned_ring — literal-index explode, all
+    whole-stage codegen). Safe for the escalation loops: a neighbor in a
+    pruned cell is farther than cs, so it could never satisfy the round's
+    convergence proof (nn_dist <= cs resp. k-th distance <= cs) — points
+    whose best candidate lives in a pruned cell escalate in both variants,
+    and converged winners/top-k lists are within cs, hence in kept cells.
+    Drops the corner cells with probability 1 - pi/4 each (~10% fewer
+    candidate pairs, measured at sf0.1)."""
+    return explode_pruned_ring(df, x, y, cs, 1, flit(cs))
 
 
 _PACK = 1 << 32
@@ -202,7 +203,7 @@ def knn_join(
             )
         else:
             rcell = F.expr(cells.cell_sql(ox, oy, cs))
-            lt = remaining.withColumn("_cell", _ring1_pruned(x, y, cs))
+            lt = _ring1_pruned(remaining, x, y, cs)
             rt = others.withColumn("_cell", rcell)
             cand = _salt_cell_join(
                 lt, rt, x, y, salt, broadcast_others,
@@ -299,7 +300,7 @@ def nearest_neighbor(
     bcast_residue = False
     for _ in range(max_rounds):
         rcell = F.expr(cells.cell_sql(ox, oy, cs))
-        lt = remaining.withColumn("_cell", _ring1_pruned(x, y, cs))
+        lt = _ring1_pruned(remaining, x, y, cs)
         rt = others.withColumn("_cell", rcell)
         cand = _salt_cell_join(
             lt, rt, x, y, salt, broadcast_others, extra_on,
