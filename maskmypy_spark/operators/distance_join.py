@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import cells
@@ -31,6 +33,38 @@ def dist_sql(x1: str, y1: str, x2: str, y2: str) -> str:
         f"sqrt((({x1}) - ({x2})) * (({x1}) - ({x2}))"
         f" + (({y1}) - ({y2})) * (({y1}) - ({y2})))"
     )
+
+
+def sq_dist_sql(x1: str, y1: str, x2: str, y2: str) -> str:
+    """Squared Euclidean distance — the radicand of :func:`dist_sql`,
+    rendered with the identical sub-expressions so the doubles match."""
+    return (
+        f"((({x1}) - ({x2})) * (({x1}) - ({x2}))"
+        f" + (({y1}) - ({y2})) * (({y1}) - ({y2})))"
+    )
+
+
+def sq_threshold_le(r: float) -> float:
+    """Largest double ``s >= 0`` with correctly-rounded ``sqrt(s) <= r``.
+
+    IEEE-754 sqrt is monotone and correctly rounded (guaranteed for both
+    JVM ``Math.sqrt`` and C ``libm``/``numpy``/DuckDB), so the set
+    ``{s >= 0 : sqrt(s) <= r}`` is downward-closed and this value is its
+    maximum — hence ``sqrt(s) <= r  <=>  s <= sq_threshold_le(r)`` and
+    ``sqrt(s) > r  <=>  s > sq_threshold_le(r)`` hold for EVERY double
+    ``s >= 0``, on every engine. Radius / annulus predicates over literal
+    radii can therefore run entirely in squared space — no sqrt per
+    candidate pair in the join condition (the oracle keeps its sqrt
+    formulation; the pair sets are provably identical — property-tested
+    against a +-40-ulp boundary scan in tests/test_plans.py)."""
+    if r < 0.0:
+        return -1.0
+    s = r * r
+    while s > 0.0 and math.sqrt(s) > r:
+        s = math.nextafter(s, -math.inf)
+    while math.sqrt(math.nextafter(s, math.inf)) <= r:
+        s = math.nextafter(s, math.inf)
+    return s
 
 
 def pruned_ring_sql(x: str, y: str, cs: float, n_sql: str, r_sql: str) -> str:
@@ -153,6 +187,7 @@ def distance_join(
     left_radius_col: str | None = None,
     right_cell_col: str | None = None,
     how: str = "inner",
+    annulus_low: float | None = None,
 ) -> DataFrame:
     """Inner join of all (left, right) pairs with distance <= radius.
 
@@ -177,7 +212,18 @@ def distance_join(
     and more when radii are skewed small; the right side stays one row per
     cell. ``radius`` only sizes the default cs (pass the TYPICAL max); rows
     whose radius exceeds it are still found exactly — the ring is per-row.
+    ``annulus_low`` (fixed-radius path) additionally drops pairs with
+    ``dist <= annulus_low`` — evaluated, like the radius bound, entirely in
+    SQUARED space via :func:`sq_threshold_le` (pair set bit-identical to
+    the sqrt formulation, but no sqrt per candidate pair; ``dist_col`` is
+    still emitted and prunes away when unused). ``how='left'`` on the
+    fixed-radius compact-dimension path (explode_side='left') moves the
+    radius/annulus predicate INTO the join condition so every probe row
+    survives (right side null when no partner) — the join-back-free
+    aggregation shape (see locationswap).
     """
+    if annulus_low is not None and left_radius_col is not None:
+        raise ValueError("annulus_low applies to the fixed-radius path only.")
     if left_radius_col is not None:
         cs = float(cs or radius / 2.0)
         ring_n = f"CAST(ceil(({left_radius_col}) / {flit(cs)}) AS BIGINT)"
@@ -272,6 +318,36 @@ def distance_join(
     if broadcast_right:
         rt = F.broadcast(rt)
 
+    # Radius (and optional annulus) predicate in SQUARED space: bit-equal
+    # pair set to the sqrt formulation (sq_threshold_le proof above), one
+    # multiply-add chain instead of 1-2 sqrt calls per candidate pair.
+    sq = sq_dist_sql(lx, ly, rx, ry)
+    rpred = f"({sq}) <= {flit(sq_threshold_le(float(radius)))}"
+    if annulus_low is not None:
+        rpred = (
+            f"({rpred} AND ({sq}) > "
+            f"{flit(sq_threshold_le(float(annulus_low)))})"
+        )
+    d = F.expr(dist_sql(lx, ly, rx, ry))
+    if how == "left":
+        if explode_side != "left" or extra_on:
+            raise ValueError(
+                "how='left' requires the compact-dimension fixed-radius "
+                "shape (explode_side='left', no extra_on)."
+            )
+        # LEFT OUTER with the radius/annulus predicate inside the join
+        # condition: every exploded probe row survives (right side null
+        # when no within-annulus partner), so a downstream per-key
+        # aggregate covers zero-candidate keys without any join-back to
+        # the probe table (see locationswap's join-free pick).
+        cond = (lt["_cell"] == rt["_cell"]) & F.expr(rpred)
+        if salt > 1:
+            cond = (lt["_salt"] == rt["_salt"]) & cond
+        joined = lt.join(rt, cond, "left").drop(rt["_cell"])
+        if salt > 1:
+            joined = joined.drop(rt["_salt"])
+        return joined.withColumn(dist_col, d).drop("_cell", "_salt")
+
     cond = None
     for lc, rc in extra_on or []:
         c = lt[lc] == rt[rc]
@@ -284,9 +360,8 @@ def distance_join(
             joined = joined.drop(rt["_salt"])
     else:
         joined = lt.join(rt, on=on)
-    d = F.expr(dist_sql(lx, ly, rx, ry))
     return (
-        joined.where(d <= F.lit(float(radius)))
+        joined.where(F.expr(rpred))
         .withColumn(dist_col, d)
         .drop("_cell", "_salt")
     )

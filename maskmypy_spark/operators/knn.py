@@ -101,7 +101,38 @@ def _argmin_pick_coords(
     )
 
 
-def _salt_cell_join(lt, rt, x, y, salt, broadcast_others, extra_on=(), broadcast_left=False):
+def _argmin_pick_rows(
+    cand: DataFrame, d, carry_cols, okey: str, ox: str, oy: str, max_d: float
+) -> DataFrame:
+    """Group-carry variant of :func:`_argmin_pick_coords`: the grouping keys
+    are the probe row's OWN columns (row keys are unique by contract, so
+    grouping by all of them is functionally grouping by the key alone) and
+    the aggregate output IS the marked probe table — the per-round fact
+    join-back (``remaining JOIN picked``: a full fact shuffle + two sorts
+    per escalation round at 100 TB) disappears. Meant for candidates from a
+    LEFT OUTER cell join: null-extended rows (no cell-mate passing
+    exclude_self) carry null ``_pk``/``ox``/``oy``; ``min``/``min_by``
+    ignore null ordering values, so an all-null group yields a null winner
+    (-> null nn_dist -> the point escalates) — bit-identical to the former
+    left-join-back semantics. Same packing preconditions as
+    :func:`_argmin_pick`."""
+    s = float((_PACK // 2 - 1) / max_d)
+    q = F.floor(d * F.lit(s)).cast("long")
+    return (
+        cand.withColumn("_pk", q * F.lit(_PACK) + F.col(okey))
+        .groupBy(*carry_cols)
+        .agg(
+            F.min("_pk").alias("_pk"),
+            F.expr(f"min_by({ox}, _pk)").alias(ox),
+            F.expr(f"min_by({oy}, _pk)").alias(oy),
+        )
+        .withColumn(okey, F.col("_pk") % F.lit(_PACK))
+        .drop("_pk")
+    )
+
+
+def _salt_cell_join(lt, rt, x, y, salt, broadcast_others, extra_on=(),
+                    broadcast_left=False, how="inner", extra_cond=None):
     """Join the cell-tagged sides, optionally scattering hot cells: the
     probe side hashes into ``salt`` sub-keys, the build side replicates
     once per sub-key — one dense cluster (a city) then spreads over
@@ -138,6 +169,23 @@ def _salt_cell_join(lt, rt, x, y, salt, broadcast_others, extra_on=(), broadcast
         # the caller says so: pin the shuffled sort-merge join (SMJ also
         # beats shuffled-hash ~2.5x here; measured round 3).
         lt = lt.hint("merge")
+    if how != "inner" or extra_cond is not None:
+        # Explicit-condition form (LEFT OUTER keeps every probe-cell row,
+        # null-extended when no cell-mate passes ``extra_cond``, e.g. the
+        # exclude_self predicate — which must live IN the condition: a
+        # post-join filter would drop the null-extended rows too). The
+        # build side's join-key columns are dropped so downstream sees one
+        # copy, the probe side's (null-free on unmatched rows).
+        cond = None
+        for c in on:
+            eq = lt[c] == rt[c]
+            cond = eq if cond is None else (cond & eq)
+        if extra_cond is not None:
+            cond = cond & extra_cond
+        j = lt.join(rt, cond, how)
+        for c in on:
+            j = j.drop(rt[c])
+        return j.drop("_cell", *(["_sk"] if salt > 1 else []))
     return lt.join(rt, on).drop("_cell", *(["_sk"] if salt > 1 else []))
 
 
@@ -302,25 +350,43 @@ def nearest_neighbor(
         rcell = F.expr(cells.cell_sql(ox, oy, cs))
         lt = _ring1_pruned(remaining, x, y, cs)
         rt = others.withColumn("_cell", rcell)
-        cand = _salt_cell_join(
-            lt, rt, x, y, salt, broadcast_others, extra_on,
-            broadcast_left=bcast_residue,
-        )
-        if exclude_self:
-            cand = cand.where(F.col(okey) != F.col(key))
         # candidate distance this round is < 3*cs (3x3 neighborhood bound);
         # the pick aggregate carries the winner's coordinates via min_by,
-        # so no join-back to ``others`` is needed.
-        picked = _argmin_pick_coords(cand, d, key, okey, ox, oy, 3.0 * cs)
-        # ONE join + ONE checkpoint per round: left-join the winner (with
-        # coordinates), recompute the EXACT distance on the joined row
-        # (null when no candidate), materialize, then split by filter on
-        # the materialized result.
-        marked = (
-            remaining.join(picked, key, "left")
-            .withColumn("nn_dist", d)
-            .localCheckpoint(eager=True)
-        )
+        # so no join-back to ``others`` is needed — and on the unbounded
+        # rounds the probe row's own columns ride as GROUPING KEYS of a
+        # LEFT OUTER cell join (exclude_self inside the join condition), so
+        # the aggregate output already IS the marked probe table: the
+        # per-round ``remaining JOIN picked`` fact join-back (a full fact
+        # shuffle + two sorts per round at 100 TB) is gone too. The
+        # counted-residue broadcast rounds keep the inner+join-back shape:
+        # a BroadcastHashJoin cannot build the LEFT side of a LEFT OUTER
+        # join, and with a counted-tiny residue the join-back is free.
+        if bcast_residue:
+            cand = _salt_cell_join(
+                lt, rt, x, y, salt, broadcast_others, extra_on,
+                broadcast_left=True,
+            )
+            if exclude_self:
+                cand = cand.where(F.col(okey) != F.col(key))
+            picked = _argmin_pick_coords(cand, d, key, okey, ox, oy, 3.0 * cs)
+            marked = (
+                remaining.join(picked, key, "left")
+                .withColumn("nn_dist", d)
+                .localCheckpoint(eager=True)
+            )
+        else:
+            xcond = (F.col(okey) != F.col(key)) if exclude_self else None
+            cand = _salt_cell_join(
+                lt, rt, x, y, salt, broadcast_others, extra_on,
+                how="left", extra_cond=xcond,
+            )
+            marked = (
+                _argmin_pick_rows(
+                    cand, d, remaining.columns, okey, ox, oy, 3.0 * cs
+                )
+                .withColumn("nn_dist", d)
+                .localCheckpoint(eager=True)
+            )
         conv = F.col("nn_dist").isNotNull() & (F.col("nn_dist") <= F.lit(float(cs)))
         parts.append(marked.where(conv))
         remaining = marked.where(

@@ -79,13 +79,28 @@ def locationswap(
     # mod-mul folds to one BIGINT add (exact and order-independent in
     # int64 — bit-identical to the inline swap_pick_key the oracle keeps).
     pp, ap = swap_pick_parts(key, akey)
+    # Bare (key, x, y) frames take the JOIN-FREE shape: a LEFT OUTER
+    # candidate join (annulus predicate inside the join condition, so
+    # zero-candidate points survive null-extended) + ONE aggregate keyed
+    # (key, x, y) — the final fact-table join-back disappears entirely.
+    # Frames carrying payload columns keep the pick + join-back shape
+    # (payloads never enter the candidate stream either way). The annulus
+    # itself runs in SQUARED space on both shapes
+    # (distance_join(annulus_low=), sq_threshold_le): bit-identical pair
+    # set, no sqrt per candidate pair — the old post-join
+    # ``where(dist > low)`` was pushed into the join condition by Catalyst
+    # and evaluated the sqrt TWICE per candidate (join-condition codegen
+    # has no common-subexpression elimination).
+    bare = set(df.columns) == {key, x, y}
     cand = distance_join(
         df.select(key, x, y).withColumn("_swp", F.expr(pp)),
         address.select(akey, ax, ay).withColumn("_swa", F.expr(ap)),
         radius=high,
         lx=x, ly=y, rx=ax, ry=ay, salt=salt, cs=float(high) / 2.0,
         explode_side="left",
-    ).where(F.col("dist") > float(low))
+        annulus_low=float(low),
+        how="left" if bare else "inner",
+    )
     # Micro-staged hash (same trick as the donut stages): the inlined
     # one-expression rendering blows whole-stage codegen's method limit on
     # the joined row (interpreted fallback is ~30x slower on the hot join);
@@ -114,15 +129,29 @@ def locationswap(
     # is unique per (point, address) candidate (it embeds akey), so min_by
     # is deterministic; the coordinates are the candidate row's own ax/ay —
     # bit-identical to the values the join-back recovered.
-    picked = (
-        cand.withColumn("_pk", F.col("_h2") * F.lit(PACK) + F.col(akey))
-        .groupBy(key)
-        .agg(
-            F.expr(f"min_by({ax}, _pk)").alias("_swap_x"),
-            F.expr(f"min_by({ay}, _pk)").alias("_swap_y"),
+    cand = cand.withColumn("_pk", F.col("_h2") * F.lit(PACK) + F.col(akey))
+    if bare:
+        # One aggregate, no join-back: (x, y) are constant per key (unique
+        # row keys), so they ride as grouping keys without changing the
+        # group set; null-extended probe rows carry a null _pk, which
+        # min_by ignores (all-null group => null swap => UNMASKED=1) —
+        # exactly the old left-join's null semantics.
+        out = (
+            cand.groupBy(key, x, y)
+            .agg(
+                F.expr(f"min_by({ax}, _pk)").alias("_swap_x"),
+                F.expr(f"min_by({ay}, _pk)").alias("_swap_y"),
+            )
         )
-    )
-    out = df.join(picked, key, "left")
+    else:
+        picked = (
+            cand.groupBy(key)
+            .agg(
+                F.expr(f"min_by({ax}, _pk)").alias("_swap_x"),
+                F.expr(f"min_by({ay}, _pk)").alias("_swap_y"),
+            )
+        )
+        out = df.join(picked, key, "left")
     out = (
         out.withColumn("UNMASKED", F.when(F.col("_swap_x").isNull(), 1).otherwise(0))
         .withColumn(x, F.coalesce("_swap_x", x))

@@ -113,6 +113,91 @@ def test_locationswap_pick_hash_aggregates(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_sq_threshold_le_exact():
+    """sq_threshold_le(r) must satisfy  sqrt(s) <= r  <=>  s <= T(r)  for
+    every double s >= 0 (the proof that squared-space radius/annulus
+    predicates keep the pair set bit-identical to the oracle's sqrt
+    formulation). Disagreement is only possible within a few ulps of r*r,
+    so scan a +-40-ulp boundary window per radius plus far-field samples."""
+    import math
+    import random
+
+    from maskmypy_spark.operators.distance_join import sq_threshold_le
+
+    rnd = random.Random(7)
+    for _ in range(2000):
+        r = rnd.choice([
+            rnd.uniform(0.001, 1e6),
+            float(rnd.randint(0, 10**6)),
+            rnd.uniform(0.0, 1.0) * 10.0 ** rnd.randint(-3, 8),
+        ])
+        T = sq_threshold_le(r)
+        s = r * r
+        for _ in range(40):
+            s = math.nextafter(s, -math.inf)
+        for _ in range(80):
+            if s >= 0.0:
+                assert (math.sqrt(s) <= r) == (s <= T), (r.hex(), s.hex())
+            s = math.nextafter(s, math.inf)
+    for r in (0.0, 1.0, 100.0, 500.0):
+        T = sq_threshold_le(r)
+        assert math.sqrt(T) <= r
+        assert math.sqrt(math.nextafter(T, math.inf)) > r
+
+
+def test_locationswap_bare_joinfree_and_payload_paths_agree(spark):
+    """Bare (key, x, y) frames take the join-free LEFT OUTER + aggregate
+    shape: ONE join total (the candidate join), NO sqrt anywhere in the
+    plan (annulus runs in squared space), and results identical to the
+    payload path (pick + join-back), including zero-candidate UNMASKED
+    rows."""
+    from maskmypy_spark.operators.locationswap import locationswap
+
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(300, seed=42))
+    # plant isolated points (far from every address) to exercise UNMASKED=1
+    pts = pts.selectExpr(
+        "pid", "CASE WHEN pid % 29 = 0 THEN x + 1.0e6 ELSE x END AS x", "y"
+    )
+    addr = spark.createDataFrame(fixtures.addresses_pdf(2000, seed=43))
+    bare = locationswap(pts, 100.0, 500.0, addr, seed=1)
+    simple = _plan(bare, mode="simple")
+    assert sum(1 for ln in simple.splitlines() if "Join" in ln) == 1, simple
+    assert "SQRT" not in _plan(bare).upper()
+
+    withp = pts.withColumn("payload", F.expr("pid * 3"))
+    full = locationswap(withp, 100.0, 500.0, addr, seed=1)
+    simple = _plan(full, mode="simple")
+    assert sum(1 for ln in simple.splitlines() if "Join" in ln) == 2, simple
+    a = {tuple(r) for r in bare.collect()}
+    b = {tuple(r) for r in full.drop("payload").collect()}
+    assert a == b and len(a) == 300
+    assert any(r[3] == 1 for r in a)  # isolated points -> UNMASKED
+
+
+def test_nearest_neighbor_unbounded_round_has_no_fact_join_back(spark, monkeypatch):
+    """The unbounded escalation rounds carry the probe row through the
+    argmin aggregate as grouping keys (LEFT OUTER cell join), so a
+    single-round nearest_neighbor plans exactly ONE join — the cell join.
+    The former shape added a ``remaining JOIN picked`` fact join-back per
+    round (a full fact shuffle + two sorts at 100 TB)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from maskmypy_spark.operators.knn import nearest_neighbor
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self, *a, **kw: self)
+    pts = spark.createDataFrame(fixtures.sensitive_points_pdf(200, seed=42))
+    others = pts.selectExpr("pid AS nn_id", "x AS nn_x", "y AS nn_y")
+    nn = nearest_neighbor(
+        pts, others, cs=50000.0, exclude_self=True, max_rounds=1,
+        residue_broadcast_rows=0,
+    )
+    simple = _plan(nn, mode="simple")
+    n_joins = sum(1 for ln in simple.splitlines() if "Join" in ln)
+    assert n_joins == 1, simple
+    rows = {(r["pid"], r["nn_id"]) for r in nn.collect()}
+    assert len(rows) == 200
+
+
 def test_nearest_neighbor_argmin_hash_aggregates(spark, monkeypatch):
     """The kNN argmin must plan as HashAggregate — min(struct) forced a
     SortAggregate over the 9x exploded candidate set on the voronoi/snap/NND
