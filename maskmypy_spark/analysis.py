@@ -280,9 +280,21 @@ def k_anonymity_address(
             broadcast_right=broadcast_addr, left_radius_col="_radius",
             cs=cs, right_cell_col=addr_cell_col, how="left",
         )
+        # x, y are constant per key (unique row keys), so they come out of
+        # the aggregate as min() AGGREGATES rather than grouping keys:
+        # bit-identical values (min over equals), but consumers that only
+        # read (key, k) — the satisfaction pipeline, monitoring sinks —
+        # let Catalyst PRUNE the coordinate buffers entirely, leaving an
+        # 8-byte grouping key and one count buffer on the pair stream
+        # (grouping keys can never be pruned, and float keys additionally
+        # pay a normalize-NaN/zero wrapper per row).
         return (
-            pairs.groupBy(key, x, y)
-            .agg((F.count(akey) + 1).cast("long").alias("k_anonymity"))
+            pairs.groupBy(key)
+            .agg(
+                F.min(x).alias(x),
+                F.min(y).alias(y),
+                (F.count(akey) + 1).cast("long").alias("k_anonymity"),
+            )
         )
     pairs = distance_join(
         cand.select(key, x, y, "_radius"), address.select(*addr_cols),

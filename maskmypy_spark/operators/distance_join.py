@@ -231,6 +231,33 @@ def distance_join(
             left, lx, ly, cs, cells.ring_for_radius(radius, cs),
             left_radius_col, n_sql=ring_n,
         )
+        # Per-row-radius predicate via an exact BAND: sq <= r^2*(1-2^-48)
+        # is provably within (true sqrt <= r(1 - 2^-49) even after the
+        # three roundings, so the correctly-rounded sqrt stays < r);
+        # sq > r^2*(1+2^-48) is provably outside; only the few-ulp band
+        # between them ever evaluates the sqrt (And/Or codegen
+        # short-circuits). Row-for-row identical to ``sqrt(sq) <= r`` for
+        # every finite radius with r^2 finite — the operator's domain.
+        # The band bounds are per-probe-row projections (2 multiplies)
+        # computed once before the pair stream.
+        lt = lt.withColumn(
+            "_rlo",
+            F.expr(
+                f"({left_radius_col}) * ({left_radius_col}) * "
+                f"{flit(1.0 - 2.0 ** -48)}"
+            ),
+        ).withColumn(
+            "_rhi",
+            F.expr(
+                f"({left_radius_col}) * ({left_radius_col}) * "
+                f"{flit(1.0 + 2.0 ** -48)}"
+            ),
+        )
+        sq = sq_dist_sql(lx, ly, rx, ry)
+        band_pred = F.expr(
+            f"(({sq}) <= _rlo OR (({sq}) <= _rhi AND "
+            f"{dist_sql(lx, ly, rx, ry)} <= ({left_radius_col})))"
+        )
         # right_cell_col = the 100 TB dimension pattern: a stored address/
         # node table persists its cell index once (cells.cell_sql at the
         # SAME cs — the caller owns cs agreement), ideally written BUCKETED
@@ -266,18 +293,19 @@ def distance_join(
             for c in on:
                 eq = lt[c] == rt[c]
                 cond = eq if cond is None else (cond & eq)
-            cond = cond & (d <= lt[left_radius_col])
+            cond = cond & band_pred
             joined = lt.join(rt, cond, "left").drop(rt["_cell"])
             if salt > 1:
                 joined = joined.drop(rt["_salt"])
             return (
-                joined.withColumn(dist_col, d).drop("_cell", "_salt")
+                joined.withColumn(dist_col, d)
+                .drop("_cell", "_salt", "_rlo", "_rhi")
             )
         return (
             lt.join(rt, on=on)
-            .where(d <= F.col(left_radius_col))
+            .where(band_pred)
             .withColumn(dist_col, d)
-            .drop("_cell", "_salt")
+            .drop("_cell", "_salt", "_rlo", "_rhi")
         )
 
     cs = float(cs or radius)
