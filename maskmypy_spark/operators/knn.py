@@ -102,32 +102,42 @@ def _argmin_pick_coords(
 
 
 def _argmin_pick_rows(
-    cand: DataFrame, d, carry_cols, okey: str, ox: str, oy: str, max_d: float
+    cand: DataFrame, d, key_cols, cols, okey: str, ox: str, oy: str,
+    max_d: float
 ) -> DataFrame:
-    """Group-carry variant of :func:`_argmin_pick_coords`: the grouping keys
-    are the probe row's OWN columns (row keys are unique by contract, so
-    grouping by all of them is functionally grouping by the key alone) and
-    the aggregate output IS the marked probe table — the per-round fact
+    """Group-carry variant of :func:`_argmin_pick_coords`: the grouping key
+    is the probe row's UNIQUE key alone (``key_cols``; row keys are unique
+    by contract — in group mode they are unique ACROSS groups too) and the
+    aggregate output IS the marked probe table — the per-round fact
     join-back (``remaining JOIN picked``: a full fact shuffle + two sorts
-    per escalation round at 100 TB) disappears. Meant for candidates from a
-    LEFT OUTER cell join: null-extended rows (no cell-mate passing
-    exclude_self) carry null ``_pk``/``ox``/``oy``; ``min``/``min_by``
-    ignore null ordering values, so an all-null group yields a null winner
-    (-> null nn_dist -> the point escalates) — bit-identical to the former
-    left-join-back semantics. Same packing preconditions as
-    :func:`_argmin_pick`."""
+    per escalation round at 100 TB) disappears. The remaining probe columns
+    (``cols`` minus ``key_cols``) are constant per key, so they come out as
+    ``min()`` AGGREGATES over equal values (bit-identical) instead of extra
+    grouping keys: double grouping keys pay a normalize-NaN/zero wrapper
+    per CANDIDATE ROW on the pair stream and widen the hash-table key,
+    while plain buffers cost one compare per row (the locationswap /
+    k-verify slim aggregates take the same shape). Output column order is
+    ``cols..., ox, oy, okey`` — identical to the former group-by-everything
+    spelling. Meant for candidates from a LEFT OUTER cell join:
+    null-extended rows (no cell-mate passing exclude_self) carry null
+    ``_pk``/``ox``/``oy``; ``min``/``min_by`` ignore null ordering values,
+    so an all-null group yields a null winner (-> null nn_dist -> the point
+    escalates) — bit-identical to the former left-join-back semantics. Same
+    packing preconditions as :func:`_argmin_pick`."""
     s = float((_PACK // 2 - 1) / max_d)
     q = F.floor(d * F.lit(s)).cast("long")
+    carry = [c for c in cols if c not in key_cols]
     return (
         cand.withColumn("_pk", q * F.lit(_PACK) + F.col(okey))
-        .groupBy(*carry_cols)
+        .groupBy(*key_cols)
         .agg(
+            *[F.min(c).alias(c) for c in carry],
             F.min("_pk").alias("_pk"),
             F.expr(f"min_by({ox}, _pk)").alias(ox),
             F.expr(f"min_by({oy}, _pk)").alias(oy),
         )
         .withColumn(okey, F.col("_pk") % F.lit(_PACK))
-        .drop("_pk")
+        .select(*cols, ox, oy, okey)
     )
 
 
@@ -382,7 +392,7 @@ def nearest_neighbor(
             )
             marked = (
                 _argmin_pick_rows(
-                    cand, d, remaining.columns, okey, ox, oy, 3.0 * cs
+                    cand, d, [key], remaining.columns, okey, ox, oy, 3.0 * cs
                 )
                 .withColumn("nn_dist", d)
                 .localCheckpoint(eager=True)

@@ -132,13 +132,20 @@ def locationswap(
     cand = cand.withColumn("_pk", F.col("_h2") * F.lit(PACK) + F.col(akey))
     if bare:
         # One aggregate, no join-back: (x, y) are constant per key (unique
-        # row keys), so they ride as grouping keys without changing the
-        # group set; null-extended probe rows carry a null _pk, which
-        # min_by ignores (all-null group => null swap => UNMASKED=1) —
-        # exactly the old left-join's null semantics.
+        # row keys), so they come out as min() AGGREGATES over equal values
+        # (bit-identical) rather than grouping keys — double grouping keys
+        # pay a normalize-NaN/zero wrapper PER PAIR ROW on the ~250M-row
+        # candidate stream and triple the hash-table key width; as plain
+        # buffers they cost one compare per row and the grouping key stays
+        # one BIGINT (the k-verify slim aggregate took the same shape).
+        # Null-extended probe rows carry a null _pk, which min_by ignores
+        # (all-null group => null swap => UNMASKED=1) — exactly the old
+        # left-join's null semantics.
         out = (
-            cand.groupBy(key, x, y)
+            cand.groupBy(key)
             .agg(
+                F.min(x).alias(x),
+                F.min(y).alias(y),
                 F.expr(f"min_by({ax}, _pk)").alias("_swap_x"),
                 F.expr(f"min_by({ay}, _pk)").alias("_swap_y"),
             )
