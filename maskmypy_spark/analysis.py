@@ -268,18 +268,9 @@ def k_anonymity_address(
     if slim:
         # LEFT OUTER annulus join (distance predicate inside the join
         # condition): every point's probe rows survive even with zero
-        # within-radius addresses, so k = count(akey) + 1 in ONE aggregate —
+        # within-radius addresses, so k comes out of ONE aggregate —
         # no union branch re-deriving the masked table (that branch
         # recomputed the whole mask per query) and still one join total.
-        # x, y are constant per key (one masked row per point), so they
-        # ride as grouping keys without changing the group set. Values are
-        # identical to the general path (contract-verified).
-        pairs = distance_join(
-            cand.select(key, x, y, "_radius"), address.select(*addr_cols),
-            radius=float(max_radius), lx=x, ly=y, rx=ax, ry=ay, salt=salt,
-            broadcast_right=broadcast_addr, left_radius_col="_radius",
-            cs=cs, right_cell_col=addr_cell_col, how="left",
-        )
         # x, y are constant per key (unique row keys), so they come out of
         # the aggregate as min() AGGREGATES rather than grouping keys:
         # bit-identical values (min over equals), but consumers that only
@@ -288,6 +279,21 @@ def k_anonymity_address(
         # 8-byte grouping key and one count buffer on the pair stream
         # (grouping keys can never be pruned, and float keys additionally
         # pay a normalize-NaN/zero wrapper per row).
+        # NOT the interior-cell count shape (radius_count_join): a
+        # 3-variant interleaved A/B at sf0.1 measured the within-radius
+        # pair stream as a non-bottleneck — removing 31.8M of 225.5M
+        # candidate evaluations and 30% of the aggregate input changed
+        # wall-time by ~0.2% — while the per-cell count rows' build-side
+        # union + aggregate added ~0.7 s of per-run stage overhead (see
+        # OPTIMIZATION_r06.md). The shortcut only pays where per-pair work
+        # dominates fixed stage costs; the machinery stays available and
+        # equivalence-gated for that regime.
+        pairs = distance_join(
+            cand.select(key, x, y, "_radius"), address.select(*addr_cols),
+            radius=float(max_radius), lx=x, ly=y, rx=ax, ry=ay, salt=salt,
+            broadcast_right=broadcast_addr, left_radius_col="_radius",
+            cs=cs, right_cell_col=addr_cell_col, how="left",
+        )
         return (
             pairs.groupBy(key)
             .agg(

@@ -118,6 +118,7 @@ def explode_pruned_ring(
     r_sql: str,
     n_sql: str | None = None,
     cell_col: str = "_cell",
+    interior_col: str | None = None,
 ) -> DataFrame:
     """``df`` exploded to its pruned neighbor-ring cells as WHOLE-STAGE
     CODEGEN: explode a LITERAL index array 0..(2*max_n+1)²-1 (a constant —
@@ -133,7 +134,22 @@ def explode_pruned_ring(
     (a per-row ring count) is given, rows violating the bound raise via an
     ``assert_true`` folded into the filter — loud, never silently missing
     ring cells (the engine callers derive max_n from the declared/computed
-    max radius, so the guard never fires on contract inputs)."""
+    max radius, so the guard never fires on contract inputs).
+
+    ``interior_col`` additionally emits an INT flag = 1 iff the cell is
+    PROVABLY INTERIOR to the row's radius-``r_sql`` disk: the max distance
+    from the point to the cell's closed region is sqrt(Mx² + My²) with
+    Mx = dx>0 ? (dx+1)*cs - fx : dx<0 ? (-dx)*cs + fx : max(fx, cs - fx),
+    and the flag tests Mx² + My² <= r²*(1 - 1e-9) - 1e-6. The slack runs
+    OPPOSITE to the keep bound's: float rounding can only ever DEMOTE a
+    true interior cell to boundary (safe — the exact per-pair predicate
+    still applies there), never promote a boundary cell, and the margin
+    (relative 1e-9 dominates for r >~ 0.03, absolute 1e-6 below) exceeds
+    the ~1e-8 worst-case rounding of the bound by orders of magnitude.
+    Every pair in a flagged cell also provably passes the per-pair band
+    predicate's fast branch (pair sq <= max² <= r²(1-1e-9)-1e-6 < the
+    band's r²(1-2^-48) low bound for every representable r), so counting
+    consumers may take the whole cell without evaluating pairs."""
     w = 2 * max_n + 1
     base = cells.cell_sql(x, y, cs)
     fx = f"(({x}) - floor(({x}) / {flit(cs)}) * {flit(cs)})"
@@ -163,11 +179,143 @@ def explode_pruned_ring(
             f"abs({dx}) <= ({n_sql}) + {guard} AND abs({dy}) <= ({n_sql}) "
             f"AND {keep}"
         )
-    return (
-        out.where(F.expr(keep))
-        .withColumn(cell_col, F.expr(f"({base}) + {dx} * {cells.CELL_K} + {dy}"))
-        .drop("_rgi")
+    out = out.where(F.expr(keep)).withColumn(
+        cell_col, F.expr(f"({base}) + {dx} * {cells.CELL_K} + {dy}")
     )
+    if interior_col is not None:
+        Mx = (
+            f"CASE WHEN {dx} > 0 THEN CAST({dx} + 1 AS DOUBLE) * {flit(cs)} - {fx}"
+            f" WHEN {dx} < 0 THEN CAST(-{dx} AS DOUBLE) * {flit(cs)} + {fx}"
+            f" ELSE greatest({fx}, {flit(cs)} - {fx}) END"
+        )
+        My = (
+            f"CASE WHEN {dy} > 0 THEN CAST({dy} + 1 AS DOUBLE) * {flit(cs)} - {fy}"
+            f" WHEN {dy} < 0 THEN CAST(-{dy} AS DOUBLE) * {flit(cs)} + {fy}"
+            f" ELSE greatest({fy}, {flit(cs)} - {fy}) END"
+        )
+        rr_int = f"(({r_sql}) * ({r_sql}) * {flit(1.0 - 1e-9)} - 1.0E-6)"
+        out = out.withColumn(
+            interior_col,
+            F.expr(
+                f"CAST(({Mx}) * ({Mx}) + ({My}) * ({My}) <= {rr_int} AS INT)"
+            ),
+        )
+    return out.drop("_rgi")
+
+
+def radius_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    lx: str = "x",
+    ly: str = "y",
+    rx: str = "ax",
+    ry: str = "ay",
+    cs: float | None = None,
+    salt: int = 0,
+    broadcast_right: bool = False,
+    left_radius_col: str = "_radius",
+    count_col: str = "_c",
+) -> DataFrame:
+    """Per-row-radius candidate join shaped for COUNTING partners, with the
+    INTERIOR-CELL shortcut: returns one row per kept (probe row, ring cell)
+    with ``count_col`` = how many within-radius partners that row accounts
+    for (NULL when none), so ``sum(coalesce(count_col, 0))`` per key is the
+    exact within-disk partner count.
+
+    Cells provably interior to the row's own disk
+    (explode_pruned_ring(interior_col=)) hold ONLY within-radius partners,
+    so instead of fanning out to every partner row and testing the distance
+    band per pair, an interior probe row matches a single per-cell COUNT
+    row. The build side is the union of the partner rows (tagged _int=0,
+    count 1) and the per-cell counts (tagged _int=1), and _int joins as an
+    EQUI-KEY next to the cell id — an interior probe row hash-probes
+    exactly one build row, a boundary row sees only true partner rows. At
+    sf0.1 bench geometry (~uniform radii 100-500 m, cs 250 m) interior
+    cells hold ~25-30% of all within-radius pairs; those pairs never enter
+    the join output or the downstream aggregate. The LEFT OUTER + predicate-
+    in-condition shape is preserved, so every probe row survives and
+    zero-partner keys aggregate to 0 without any join-back.
+
+    Equivalence to the pair-enumerating count (analysis.k_anonymity_address
+    general path / the DuckDB oracle): interior cells contribute exactly
+    their full partner count (every pair in them passes the exact predicate
+    — see explode_pruned_ring's interior_col proof), boundary cells apply
+    the IDENTICAL band predicate per pair, and the conservative interior
+    slack can only move a cell to the boundary class, never the reverse.
+    Intended for counting consumers only: partner identities/coordinates
+    and distances are not emitted (interior rows have none to emit).
+    """
+    cs = float(cs or radius / 2.0)
+    ring_n = f"CAST(ceil(({left_radius_col}) / {flit(cs)}) AS BIGINT)"
+    lt = explode_pruned_ring(
+        left, lx, ly, cs, cells.ring_for_radius(radius, cs),
+        left_radius_col, n_sql=ring_n, interior_col="_int",
+    )
+    # exact band bounds, same spelling as distance_join's per-row path
+    lt = lt.withColumn(
+        "_rlo",
+        F.expr(
+            f"({left_radius_col}) * ({left_radius_col}) * "
+            f"{flit(1.0 - 2.0 ** -48)}"
+        ),
+    ).withColumn(
+        "_rhi",
+        F.expr(
+            f"({left_radius_col}) * ({left_radius_col}) * "
+            f"{flit(1.0 + 2.0 ** -48)}"
+        ),
+    )
+    # The interior flag rides INSIDE the join key (one BIGINT: cell*2 +
+    # flag) rather than as a second key column: a single-LONG equi-key
+    # keeps the broadcast build in the specialized LongHashedRelation
+    # (primitive open-addressing); a composite (cell, int) key falls back
+    # to the generic unsafe-row relation, which measurably taxes every
+    # probe lookup on the exploded stream. Cell ids are < 2^42 (functions/
+    # cells.py encoding), so the *2 cannot overflow. An interior probe row
+    # (flag 1) thereby hash-matches exactly the one per-cell count row;
+    # a boundary row sees only the per-partner rows.
+    lt = lt.withColumn(
+        "_cellq", F.col("_cell") * F.lit(2) + F.col("_int")
+    ).drop("_cell")
+    rt0 = right.withColumn("_cell", F.expr(cells.cell_sql(rx, ry, cs)))
+    partner_rows = rt0.select(
+        (F.col("_cell") * F.lit(2)).alias("_cellq"), rx, ry,
+        F.lit(1).cast("long").alias(count_col),
+    )
+    cnt_rows = (
+        rt0.groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .select(
+            (F.col("_cell") * F.lit(2) + F.lit(1)).alias("_cellq"),
+            F.lit(None).cast("double").alias(rx),
+            F.lit(None).cast("double").alias(ry),
+            F.col(count_col),
+        )
+    )
+    rt = partner_rows.unionByName(cnt_rows)
+    if salt > 1:
+        lt = lt.withColumn("_salt", (F.xxhash64(lx, ly) % salt + salt) % salt)
+        rt = rt.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        on = ["_cellq", "_salt"]
+    else:
+        on = ["_cellq"]
+    if broadcast_right:
+        rt = F.broadcast(rt)
+    sq = sq_dist_sql(lx, ly, rx, ry)
+    band_pred = F.expr(
+        f"(({sq}) <= _rlo OR (({sq}) <= _rhi AND "
+        f"{dist_sql(lx, ly, rx, ry)} <= ({left_radius_col})))"
+    )
+    cond = None
+    for c in on:
+        eq = lt[c] == rt[c]
+        cond = eq if cond is None else (cond & eq)
+    cond = cond & ((lt["_int"] == 1) | band_pred)
+    joined = lt.join(rt, cond, "left")
+    return joined.select(*[lt[c] for c in left.columns], rt[count_col])
 
 
 def distance_join(

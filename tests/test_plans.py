@@ -430,6 +430,71 @@ def test_k_verify_pipeline_plan_quality(spark):
     assert a == b
 
 
+def test_radius_count_join_interior_grid_aligned_boundaries(spark):
+    """Adversarial float-boundary stress for the interior-cell count
+    machinery (distance_join.radius_count_join — equivalence-gated but not
+    the bench default; see OPTIMIZATION_r06.md's negative result):
+    addresses on EXACT cell-grid lines and points with radii at exact cell
+    multiples put candidate cells precisely on the interior/boundary
+    classification fence and pairs precisely at dist == r. The
+    conservative slack must only ever demote cells to the exact per-pair
+    boundary class, so interior-shortcut counts must equal the
+    pair-enumerating slim path bit-for-bit — and the shortcut must
+    actually engage (some interior cells classified)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from maskmypy_spark import analysis
+    from maskmypy_spark.operators.distance_join import radius_count_join
+
+    # addresses: a 40x40 lattice ON the cs=250 grid lines (every coordinate
+    # an exact multiple of 125 — corners, edge midpoints, cell centers)
+    addr_rows = [
+        (i * 40 + j, i * 125.0, j * 125.0) for i in range(40) for j in range(40)
+    ]
+    addr = spark.createDataFrame(addr_rows, "aid LONG, ax DOUBLE, ay DOUBLE")
+    # points: on lattice nodes and generic offsets; radii exact cell
+    # multiples (250, 500), exact half-cells (125, 375), and generic
+    pts_rows = []
+    pid = itertools.count()
+    for px, py in [(1000.0, 1000.0), (1125.0, 875.0), (1010.0, 990.0),
+                   (1250.0, 1250.0), (937.5, 1062.5)]:
+        for r in [125.0, 250.0, 375.0, 500.0, 333.3]:
+            pts_rows.append((next(pid), px, py, r))
+    cand = spark.createDataFrame(
+        pts_rows, "pid LONG, x DOUBLE, y DOUBLE, _radius DOUBLE"
+    )
+    sens = cand.select("pid", "x", "y")
+    pairs = radius_count_join(
+        cand, addr.select("ax", "ay"), radius=500.0,
+        lx="x", ly="y", rx="ax", ry="ay", left_radius_col="_radius",
+    )
+    shortcut = pairs.groupBy("pid").agg(
+        (F.sum(F.coalesce(F.col("_c"), F.lit(0))) + 1)
+        .cast("long").alias("k_anonymity")
+    )
+    slim = analysis.k_anonymity_address(
+        sens, sens, addr, max_radius=500.0, disp=cand, slim=True,
+    )
+    a = {(r["pid"], r["k_anonymity"]) for r in shortcut.collect()}
+    b = {(r["pid"], r["k_anonymity"]) for r in slim.select("pid", "k_anonymity").collect()}
+    assert a == b
+    # sanity: the disks cover many addresses AND interior cells engage
+    assert min(k for _, k in a) > 1 and max(k for _, k in a) > 20, a
+    from maskmypy_spark.functions import cells as _cells
+    from maskmypy_spark.functions.rng import flit as _flit
+    from maskmypy_spark.operators.distance_join import explode_pruned_ring
+
+    lt = explode_pruned_ring(
+        cand, "x", "y", 250.0, _cells.ring_for_radius(500.0, 250.0),
+        "_radius", n_sql=f"CAST(ceil((_radius) / {_flit(250.0)}) AS BIGINT)",
+        interior_col="_int",
+    )
+    n_int = lt.where(F.col("_int") == 1).count()
+    assert n_int > 0, "interior classification never engaged — test is vacuous"
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """sources/bucketed.py: two tables bucketed on the join key with the
     same bucket count join WITHOUT an Exchange on either side — the
