@@ -65,7 +65,10 @@ def test_minhash_lsh_single_banded_shuffle(docs):
     import io
     from contextlib import redirect_stdout
 
-    df = dedup.minhash_lsh_pairs(docs, 0.7)
+    # the candidate stage is checkpointed inside minhash_lsh_pairs (its
+    # bounded output feeds two consumers), which cuts it out of the final
+    # explain — gate the stage's own plan via the extracted builder
+    df = dedup._lsh_band_candidates(docs, 32, 8, "doc_id", "text", 3, "xxhash64")
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain(mode="simple")
