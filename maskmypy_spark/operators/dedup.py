@@ -61,6 +61,27 @@ def doc_quality(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
     )
 
 
+def _dup_ngram_col(tcol: str, n: int):
+    """Gopher dup-n-gram fraction over a PRE-PROJECTED token-array column
+    ``tcol``: gram i is built by direct element references
+    (``t[i] || ' ' || t[i+1] ...``) instead of ``concat_ws(slice(...))`` —
+    higher-order-function lambdas run INTERPRETED (CodegenFallback), and
+    the slice allocated a fresh sub-array per gram per doc; the direct
+    form measured 10x faster at 1M docs (43 -> 4.3 s, BENCH/NOTES.md).
+    Identical strings, hence identical fractions: whitespace-split tokens
+    can contain neither NULLs nor the joiner, so element concat equals
+    concat_ws over the slice. The caller must project ``tcol`` in its OWN
+    select so the tokenization runs once per row (CollapseProject keeps
+    non-cheap multi-referenced aliases staged)."""
+    idx = " || ' ' || ".join(f"{tcol}[i + {j}]" for j in range(n))
+    grams = F.expr(f"transform(sequence(0, size({tcol}) - {n}), i -> {idx})")
+    cnt = F.size(F.col(tcol)) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6),
+    ).otherwise(F.lit(0.0))
+
+
 def doc_repetition(
     df: DataFrame, n: int = 2, key: str = "doc_id", text: str = "text"
 ) -> DataFrame:
@@ -71,23 +92,13 @@ def doc_repetition(
         dup_ngram_frac = 1 - distinct_ngrams / total_ngrams
 
     (0.0 for documents with fewer than ``n`` tokens or NULL text). Pure
-    per-document projection: tokens -> slice-built n-gram array ->
-    array_distinct — whole-stage codegen, no explode, no shuffle, nothing
-    leaves the row. Complements :func:`doc_quality`'s ratio filters and the
-    CROSS-document dedup family (this one needs no index at any corpus
-    size)."""
-    toks = tokens_col(text)
-    cnt = F.size(toks) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    rep = F.round(
-        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
-    )
-    return df.select(
-        key,
-        F.when(cnt >= 1, rep).otherwise(F.lit(0.0)).alias("dup_ngram_frac"),
+    per-document projection: tokens -> n-gram array (direct element refs,
+    :func:`_dup_ngram_col`) -> array_distinct — no explode, no shuffle,
+    nothing leaves the row. Complements :func:`doc_quality`'s ratio
+    filters and the CROSS-document dedup family (this one needs no index
+    at any corpus size)."""
+    return df.select(key, tokens_col(text).alias("_t")).select(
+        key, _dup_ngram_col("_t", n).alias("dup_ngram_frac")
     )
 
 
@@ -157,26 +168,39 @@ def _quality_gated(
     (key, text, alpha_ratio, dup_ngram_frac)."""
     from ..functions.rng import u_sql
 
-    toks = tokens_col(text)
-    cnt = F.size(toks) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    rep = F.when(
-        cnt >= 1,
-        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6),
-    ).otherwise(F.lit(0.0))
     alpha = F.expr(
         f"round(length(regexp_replace({text}, '[^a-zA-Z]', '')) / "
         f"CAST(nullif(length({text}), 0) AS DOUBLE), 6)"
     )
+    # Metrics ride through a SINGLE-ELEMENT explode as a PUSHDOWN BARRIER:
+    # PushDownPredicates substitutes pushed predicates through project
+    # aliases, re-inlining the staged token array as split(text) PER
+    # ELEMENT REFERENCE inside the gram lambda (~2(n+1) re-splits per gram
+    # per doc — measured 52 s vs ~7 s for the gate pass at 1M docs; a
+    # nondeterministic true-conjunct barrier gets constant-folded away).
+    # A predicate over a GENERATOR output can never move below the
+    # Generate, so the token array stages once, each metric evaluates once
+    # per row inside the generator struct, and the filter reads struct
+    # fields. One struct+array alloc per row; still zero shuffles.
     gated = (
-        df.select(
+        df.select(key, F.col(text), tokens_col(text).alias("_t"))
+        .select(
             key,
             F.col(text),
-            alpha.alias("alpha_ratio"),
-            rep.alias("dup_ngram_frac"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        alpha.alias("alpha_ratio"),
+                        _dup_ngram_col("_t", n).alias("dup_ngram_frac"),
+                    )
+                )
+            ).alias("_m"),
+        )
+        .select(
+            key,
+            F.col(text),
+            F.col("_m.alpha_ratio").alias("alpha_ratio"),
+            F.col("_m.dup_ngram_frac").alias("dup_ngram_frac"),
         )
         .where(
             (F.col("alpha_ratio") >= float(min_alpha))
@@ -225,8 +249,14 @@ def curate_near(
     gated = _quality_gated(
         df, key, text, max_repetition, min_alpha, n, sample_rate, seed
     )
+    # shingle_source=df: every LSH candidate already passed the gate (its
+    # signature came from `gated`), so the exact verify reads candidate
+    # texts from the RAW corpus — same rows, but the gate-metric lineage
+    # (which the optimizer does not push the candidate semi-join beneath)
+    # is not re-evaluated corpus-wide a second time.
     pairs = minhash_lsh_pairs(
-        gated, threshold, num_hashes, bands, key, text, shingle_n, hasher
+        gated, threshold, num_hashes, bands, key, text, shingle_n, hasher,
+        shingle_source=df,
     )
     clusters = dedup_clusters(pairs).withColumnRenamed("doc_id", "_cd")
     csize = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_cn"))
@@ -380,10 +410,24 @@ def dedup_exact(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
     )
 
 
-def shingles(df: DataFrame, key: str = "doc_id", text: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (JVM transform+explode)."""
+def shingles(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (JVM transform+explode).
+
+    ``distinct=False`` skips the per-doc dedup — and with it a FULL
+    shuffle of the corpus-scale shingle-string stream (the distinct's
+    exchange moves every shingle byte). Correct whenever the consumer is
+    insensitive to per-doc multiplicity: min-aggregation (MinHash
+    signatures — min over a multiset equals min over its set) being the
+    engine's case. Set-semantics consumers (|A|, |A ∩ B| Jaccard counts)
+    must keep the default."""
     idx = " || ' ' || ".join(f"_t[i + {j}]" for j in range(n))
-    return (
+    out = (
         df.select(key, tokens_col(text).alias("_t"))
         .where(F.size("_t") >= n)
         .select(
@@ -392,8 +436,8 @@ def shingles(df: DataFrame, key: str = "doc_id", text: str = "text", n: int = 3)
                 F.expr(f"transform(sequence(0, size(_t) - {n}), i -> {idx})")
             ).alias("shingle"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -556,8 +600,15 @@ def minhash_signatures(
     ``hasher='xxhash64'`` (default) seeds the JVM hash per permutation;
     ``hasher='md5'`` maps each shingle through a 60-bit md5 hash and a
     universal-hash family mod 2^31-1 (:func:`minhash_coeffs`) — slower,
-    but reproducible in DuckDB, giving the LSH pipeline an exact oracle."""
-    sh = shingles(df, key, text, n)
+    but reproducible in DuckDB, giving the LSH pipeline an exact oracle.
+
+    The shingle stream feeds the min-aggregate WITHOUT the per-doc
+    distinct: min over a multiset equals min over its set (bit-identical
+    signatures), and skipping it removes the full shuffle of the
+    corpus-scale shingle strings — the per-doc partial min then combines
+    map-side and only one partial row per (doc, map partition) reaches
+    the exchange (guide §2 "remove shuffles outright")."""
+    sh = shingles(df, key, text, n, distinct=False)
     if hasher == "md5":
         hp = (
             f"(CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
@@ -625,6 +676,14 @@ def _lsh_band_candidates(
             )
         ).alias("_band"),
     ).select(key, F.col("_band.b").alias("_b"), F.col("_band.v").alias("_v"))
+    # The self-join consumes bv TWICE; without a materialization each side
+    # re-executes the whole signature pipeline (tokenize -> shingle ->
+    # num_hashes mins) over the corpus — measured as a full duplicate pass
+    # at 1M docs. The banded frame is (key, band_idx, band_key): bands
+    # longs per doc, no text — the standard LSH index a production system
+    # persists anyway — so checkpointing it is a narrow per-doc index, not
+    # a corpus-payload materialization.
+    bv = bv.localCheckpoint(eager=True)
     l = bv.select(F.col(key).alias("d1"), "_b", "_v")
     r = bv.select(F.col(key).alias("d2"), "_b", "_v")
     return (
@@ -644,6 +703,7 @@ def minhash_lsh_pairs(
     text: str = "text",
     n: int = 3,
     hasher: str = "xxhash64",
+    shingle_source: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, then EXACT Jaccard
     verification of candidates only (no false positives; false-negative
@@ -653,7 +713,16 @@ def minhash_lsh_pairs(
     ``hasher='md5'`` switches the signatures to the DuckDB-reproducible
     family AND keys the band join on the collision-free concatenated
     signature rows (instead of their xxhash64), so band membership is
-    EXACTLY "all r signature values equal" on both engines."""
+    EXACTLY "all r signature values equal" on both engines.
+
+    ``shingle_source`` optionally names the frame the exact verify reads
+    candidate texts from; it must agree with ``df`` on (key, text) for
+    every key of ``df``. Pass the PRE-FILTER corpus when ``df`` is an
+    expensively-derived view (curate_near's quality-gated frame): every
+    candidate id came from ``df``'s signatures, so the semi-join below
+    keeps exactly the same docs — but the filter lineage (which Spark does
+    NOT push the semi-join beneath) is never re-evaluated, saving a full
+    corpus pass of gate metrics per query. Defaults to ``df``."""
     cand = _lsh_band_candidates(
         df, num_hashes, bands, key, text, n, hasher
     ).localCheckpoint(eager=True)
@@ -674,7 +743,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     shc = shingles(
-        df.join(cd, key, "leftsemi"), key, text, n
+        (shingle_source if shingle_source is not None else df).join(
+            cd, key, "leftsemi"
+        ),
+        key, text, n,
     ).localCheckpoint(eager=True)
     sizes = shc.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
     a = shc.select(F.col(key).alias("d1"), "shingle")
